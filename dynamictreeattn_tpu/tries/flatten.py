@@ -1,0 +1,358 @@
+"""Flatten a TokenTrie into a packed DFS layout + tree-attention mask metadata.
+
+This is the architectural heart of the TPU build. The reference exploits prefix
+sharing *outside* the attention kernel with a stack-based KV-cache replay engine
+(reference: tree_training_engine.py:52-616) because CUDA flash attention only
+understands contiguous causal masks. On TPU we instead flatten the trie ONCE
+into a single packed sequence in DFS order, where:
+
+* each trie token occupies exactly one packed position ``j``;
+* ``depth[j]`` is its distance from the root (the RoPE position id — the
+  reference gets this implicitly from KV-cache offsets);
+* ``parent[j]`` is the packed position of its trie parent (−1 for roots);
+* ``last_desc[j]`` is the largest packed position in j's subtree.
+
+Because DFS assigns each subtree a contiguous interval, the ancestor relation —
+and hence the tree-attention mask — becomes the O(1) interval test::
+
+    attend(q, k)  ⇔  k <= q <= last_desc[k]
+
+A forest (many tries packed back-to-back, plus isolated padding tokens) needs
+no extra segment ids: the interval test never crosses tree boundaries.
+
+``build_block_meta`` turns ``last_desc`` into splash-attention-style block
+metadata: for each query block, the (sparse) list of key/value blocks that
+contain any ancestor, each tagged full/partial. The Pallas kernel iterates only
+those blocks — this is where the ≥3× over dense replay comes from.
+
+Loss weighting: the reference accumulates prefix logprob/entropy grads across
+leaves through its stack buffers (reference: tree_training_engine.py:443-465).
+Here each packed position gets a scalar weight instead: position j's
+logprob-edge (entropy) contributes to every sequence whose path contains j,
+weighted per the default linear loss ``w_logprobs·mean(logprobs[:L−1]) +
+w_entropy·mean(entropy[:L])`` (reference: run.py:149-152; logprob term excludes
+the last label, entropy includes position 0). The weights are computed in O(n)
+by placing per-sequence weights at endpoint positions and accumulating up the
+parent chain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from dynamictreeattn_tpu.tries.token_trie import TokenTrie
+
+__all__ = ["PackedTrie", "BlockMeta", "flatten_trie", "build_block_meta", "pack_forest"]
+
+
+def _default_weight_fn(attachment: dict, length: int) -> tuple[float, float]:
+    """(total logprob weight, total entropy weight) for one sequence endpoint.
+
+    Defaults match the reference harness (reference: run_all.py:11-19):
+    loss = w_logprobs * mean(logprobs[:L-1]) + w_entropy * mean(entropy[:L]).
+    """
+    return (
+        float(attachment.get("w_logprobs", -1.0)),
+        float(attachment.get("w_entropy", 0.1)),
+    )
+
+
+@dataclasses.dataclass
+class PackedTrie:
+    """A trie (or forest of tries) in packed DFS layout, padded to a bucket."""
+
+    tokens: np.ndarray  # [n_padded] int32
+    depth: np.ndarray  # [n_padded] int32 — RoPE position ids
+    parent: np.ndarray  # [n_padded] int32, -1 for roots and padding
+    last_desc: np.ndarray  # [n_padded] int32, == own index for padding
+    w_logprob: np.ndarray  # [n_padded] float32 — weight of edge parent[j]→j
+    w_entropy: np.ndarray  # [n_padded] float32 — weight of entropy at j
+    n_tokens: int  # valid (un-padded) token count
+    # one row per original sequence endpoint:
+    seq_batch_ids: np.ndarray  # [n_seqs] int32 — _sequence_batch_id
+    seq_end_pos: np.ndarray  # [n_seqs] int32 — packed pos of last token
+    seq_lens: np.ndarray  # [n_seqs] int32
+
+    @property
+    def n_padded(self) -> int:
+        return len(self.tokens)
+
+    def seq_path(self, which: int) -> np.ndarray:
+        """Packed positions of sequence `which`'s tokens, root → endpoint."""
+        length = int(self.seq_lens[which])
+        path = np.empty(length, dtype=np.int32)
+        pos = int(self.seq_end_pos[which])
+        for d in range(length - 1, -1, -1):
+            path[d] = pos
+            pos = int(self.parent[pos])
+        return path
+
+    def validate(self) -> None:
+        n = self.n_tokens
+        assert np.all(self.parent[:n] < np.arange(n))
+        assert np.all(self.last_desc[:n] >= np.arange(n))
+        assert np.all(self.last_desc[n:] == np.arange(n, self.n_padded))
+        roots = self.parent[:n] < 0
+        assert np.all(self.depth[:n][roots] == 0)
+        nonroot = ~roots
+        assert np.all(
+            self.depth[:n][nonroot]
+            == self.depth[self.parent[:n][nonroot]] + 1
+        )
+
+
+def flatten_trie(
+    trie: TokenTrie,
+    pad_to: int | None = None,
+    weight_fn=_default_weight_fn,
+) -> PackedTrie:
+    """Flatten a TokenTrie into a PackedTrie.
+
+    `pad_to` pads the packed length (padding tokens are isolated roots with
+    zero loss weight — they attend only to themselves, so they never NaN and
+    never contribute).
+    """
+    lens = trie.lens
+    lcps = np.concatenate([[0], trie.lcp_lens]) if trie.n_leaves > 1 else np.array([0])
+    n = int(lens.sum() - lcps[1:].sum()) if trie.n_leaves > 1 else int(lens[0])
+
+    tokens = np.zeros(n, dtype=np.int32)
+    depth = np.zeros(n, dtype=np.int32)
+    parent = np.full(n, -1, dtype=np.int32)
+
+    # endpoint accumulation buffers
+    acc_lp = np.zeros(n, dtype=np.float64)
+    acc_ent = np.zeros(n, dtype=np.float64)
+    seq_batch_ids: list[int] = []
+    seq_end_pos: list[int] = []
+    seq_lens: list[int] = []
+
+    stack_pos = np.full(int(lens.max()) + 1, -1, dtype=np.int64)  # depth -> pos
+    cursor = 0
+    for i in range(trie.n_leaves):
+        seq = trie.inputs[i]
+        start = int(lcps[i])
+        new = len(seq) - start
+        if new > 0:
+            sl = slice(cursor, cursor + new)
+            tokens[sl] = seq[start:]
+            depth[sl] = np.arange(start, len(seq), dtype=np.int32)
+            parent[sl] = np.concatenate(
+                [
+                    [stack_pos[start - 1] if start > 0 else -1],
+                    np.arange(cursor, cursor + new - 1, dtype=np.int64),
+                ]
+            )
+            stack_pos[start : len(seq)] = np.arange(cursor, cursor + new)
+            cursor += new
+        for attachment, length in trie.attach_lists[i]:
+            end = int(stack_pos[length - 1])
+            w_lp, w_ent = weight_fn(attachment, length)
+            if length > 1:
+                acc_lp[end] += w_lp / (length - 1)
+            acc_ent[end] += w_ent / length
+            seq_batch_ids.append(int(attachment["_sequence_batch_id"]))
+            seq_end_pos.append(end)
+            seq_lens.append(length)
+    assert cursor == n
+
+    # last_desc via monotone depth stack (DFS layout property).
+    last_desc = np.empty(n, dtype=np.int32)
+    dstack: list[int] = []
+    for j in range(n):
+        while dstack and depth[dstack[-1]] >= depth[j]:
+            last_desc[dstack.pop()] = j - 1
+        dstack.append(j)
+    for j in dstack:
+        last_desc[j] = n - 1
+
+    # Propagate endpoint weights up the parent chain (children precede nothing —
+    # DFS order means parent[j] < j, so a single reverse sweep suffices).
+    for j in range(n - 1, -1, -1):
+        p = parent[j]
+        if p >= 0:
+            acc_lp[p] += acc_lp[j]
+            acc_ent[p] += acc_ent[j]
+    w_logprob = acc_lp.astype(np.float32)
+    w_logprob[depth == 0] = 0.0  # roots have no incoming edge
+    w_entropy = acc_ent.astype(np.float32)
+
+    packed = PackedTrie(
+        tokens=tokens,
+        depth=depth,
+        parent=parent,
+        last_desc=last_desc,
+        w_logprob=w_logprob,
+        w_entropy=w_entropy,
+        n_tokens=n,
+        seq_batch_ids=np.asarray(seq_batch_ids, dtype=np.int32),
+        seq_end_pos=np.asarray(seq_end_pos, dtype=np.int32),
+        seq_lens=np.asarray(seq_lens, dtype=np.int32),
+    )
+    if pad_to is not None:
+        packed = _pad_packed(packed, pad_to)
+    return packed
+
+
+def _pad_packed(p: PackedTrie, pad_to: int) -> PackedTrie:
+    n = p.n_padded
+    if pad_to < n:
+        raise ValueError(f"pad_to={pad_to} < packed length {n}")
+    extra = pad_to - n
+    if extra == 0:
+        return p
+    pad_idx = np.arange(n, pad_to, dtype=np.int32)
+    return dataclasses.replace(
+        p,
+        tokens=np.concatenate([p.tokens, np.zeros(extra, np.int32)]),
+        depth=np.concatenate([p.depth, np.zeros(extra, np.int32)]),
+        parent=np.concatenate([p.parent, np.full(extra, -1, np.int32)]),
+        last_desc=np.concatenate([p.last_desc, pad_idx]),
+        w_logprob=np.concatenate([p.w_logprob, np.zeros(extra, np.float32)]),
+        w_entropy=np.concatenate([p.w_entropy, np.zeros(extra, np.float32)]),
+    )
+
+
+def pack_forest(packed_tries: list[PackedTrie], pad_to: int | None = None) -> PackedTrie:
+    """Concatenate several PackedTries into one forest buffer.
+
+    DFS intervals never span tries, so the interval mask stays exact — no
+    segment ids needed. Sequence endpoints keep their original batch ids, so
+    callers must ensure ids are disjoint (or re-key afterwards).
+    """
+    offsets = np.cumsum([0] + [p.n_padded for p in packed_tries])
+
+    def _shift(arr_name, off, p):
+        a = getattr(p, arr_name).copy()
+        valid = a >= 0
+        a[valid] += off
+        return a
+
+    merged = PackedTrie(
+        tokens=np.concatenate([p.tokens for p in packed_tries]),
+        depth=np.concatenate([p.depth for p in packed_tries]),
+        parent=np.concatenate(
+            [_shift("parent", off, p) for off, p in zip(offsets, packed_tries)]
+        ),
+        last_desc=np.concatenate(
+            [p.last_desc + off for off, p in zip(offsets, packed_tries)]
+        ),
+        w_logprob=np.concatenate([p.w_logprob for p in packed_tries]),
+        w_entropy=np.concatenate([p.w_entropy for p in packed_tries]),
+        n_tokens=int(offsets[-1]),
+        seq_batch_ids=np.concatenate([p.seq_batch_ids for p in packed_tries]),
+        seq_end_pos=np.concatenate(
+            [p.seq_end_pos + off for off, p in zip(offsets, packed_tries)]
+        ),
+        seq_lens=np.concatenate([p.seq_lens for p in packed_tries]),
+    )
+    # note: interior padding of constituent tries stays valid (isolated roots).
+    if pad_to is not None:
+        merged = _pad_packed(merged, pad_to)
+    return merged
+
+
+@dataclasses.dataclass
+class BlockMeta:
+    """Block-sparse tree-mask metadata for the Pallas kernel.
+
+    Forward / dq iteration (query-major): for query block i, the kernel visits
+    kv blocks ``kv_ids[i, s]`` for s < ``kv_counts[i]``; ``kv_types[i, s]`` is
+    2 when every (q, k) pair in the block tile is unmasked (no mask applied
+    in-kernel) and 1 when the interval test must run elementwise. Slots past
+    the count repeat the last valid id so Pallas's pipeline never re-DMAs.
+
+    dkv iteration (key-major): the transpose — for kv block j, the query
+    blocks that read it.
+    """
+
+    block_q: int
+    block_kv: int
+    kv_ids: np.ndarray  # [n_q_blocks, max_kv_slots] int32
+    kv_counts: np.ndarray  # [n_q_blocks] int32
+    kv_types: np.ndarray  # [n_q_blocks, max_kv_slots] int32 (1 partial, 2 full)
+    q_ids: np.ndarray  # [n_kv_blocks, max_q_slots] int32
+    q_counts: np.ndarray  # [n_kv_blocks] int32
+    q_types: np.ndarray  # [n_kv_blocks, max_q_slots] int32
+
+    @property
+    def n_q_blocks(self) -> int:
+        return len(self.kv_counts)
+
+    @property
+    def n_kv_blocks(self) -> int:
+        return len(self.q_counts)
+
+    @property
+    def n_active_pairs(self) -> int:
+        return int(self.kv_counts.sum())
+
+
+def build_block_meta(
+    last_desc: np.ndarray,
+    block_q: int,
+    block_kv: int,
+    min_kv_slots: int = 0,
+    min_q_slots: int = 0,
+) -> BlockMeta:
+    """Compute block-sparse metadata from `last_desc` (padded length).
+
+    Query block i covers rows [i·Bq, (i+1)·Bq); kv block j covers columns
+    [j·Bk, (j+1)·Bk). Derivations (q ∈ Q, k ∈ K, mask = k ≤ q ≤ last_desc[k],
+    and last_desc[k] ≥ k always):
+
+    * K active for Q   ⇔ ks < qe  and  max(last_desc[K]) ≥ qs
+    * K full for Q     ⇔ ke ≤ qs+1 and min(last_desc[K]) ≥ qe−1
+      (ke−1 ≤ qs handles the k ≤ q side; the diagonal block is never full
+      unless Bk == 1.)
+    """
+    n = len(last_desc)
+    if n % block_q or n % block_kv:
+        raise ValueError("padded length must divide both block sizes")
+    nq, nk = n // block_q, n // block_kv
+    ld = np.asarray(last_desc, dtype=np.int64).reshape(nk, block_kv)
+    ld_max = ld.max(axis=1)  # [nk]
+    ld_min = ld.min(axis=1)
+
+    qs = np.arange(nq, dtype=np.int64)[:, None] * block_q  # [nq, 1]
+    qe = qs + block_q
+    ks = np.arange(nk, dtype=np.int64)[None, :] * block_kv  # [1, nk]
+    ke = ks + block_kv
+
+    active = (ks < qe) & (ld_max[None, :] >= qs)  # [nq, nk]
+    full = (ke - 1 <= qs) & (ld_min[None, :] >= qe - 1)
+
+    kv_ids, kv_counts, kv_types = _compact(active, full, min_kv_slots)
+    q_ids, q_counts, q_types = _compact(active.T, full.T, min_q_slots)
+    return BlockMeta(
+        block_q=block_q,
+        block_kv=block_kv,
+        kv_ids=kv_ids,
+        kv_counts=kv_counts,
+        kv_types=kv_types,
+        q_ids=q_ids,
+        q_counts=q_counts,
+        q_types=q_types,
+    )
+
+
+def _compact(active: np.ndarray, full: np.ndarray, min_slots: int):
+    """Row-compact a boolean activity matrix into (ids, counts, types)."""
+    nrows, _ = active.shape
+    counts = active.sum(axis=1).astype(np.int32)
+    # Every row must have ≥1 active block (diagonal/self block) so the repeat-
+    # padding has something to repeat.
+    assert counts.min() >= 1, "every block row must have at least one active block"
+    width = max(int(counts.max()), min_slots, 1)
+    ids = np.zeros((nrows, width), dtype=np.int32)
+    types = np.zeros((nrows, width), dtype=np.int32)
+    for r in range(nrows):
+        cols = np.nonzero(active[r])[0]
+        c = len(cols)
+        ids[r, :c] = cols
+        types[r, :c] = np.where(full[r, cols], 2, 1)
+        ids[r, c:] = cols[-1]  # repeat → pipeline re-uses the fetched block
+        types[r, c:] = 0
+    return ids, counts, types
