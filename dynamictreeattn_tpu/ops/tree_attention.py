@@ -1,0 +1,575 @@
+"""Pallas TPU tree-masked flash attention: forward + custom_vjp backward.
+
+This kernel is the TPU-native replacement for everything the reference built
+around FlashAttention-3's causal-only masks: the stack-based KV replay engine,
+autograd surgery, and per-leaf kernel launches
+(reference: tree_training_engine.py:146-513). Queries/keys live in a packed
+DFS trie layout (tries/flatten.py) where token q attends to token k iff
+``k <= q <= last_desc[k]`` — so the mask needs one int32 per kv position.
+
+Block sparsity: the kernel only visits (q-block, kv-block) pairs that contain
+at least one ancestor relation, via splash-attention-style scalar-prefetch
+metadata (tries/flatten.py:build_block_meta):
+
+* forward + dq iterate query-major: grid (kv_heads, n_q_blocks, max_slots)
+  with ``kv_ids[i, s]`` naming the s-th active kv block of query block i;
+* dkv iterates key-major over the transposed map ``q_ids[j, s]``.
+
+Padding slots repeat the previous block id, so Pallas's pipeline never
+re-fetches; their compute is skipped via the prefetched slot count. Blocks
+tagged FULL (every pair unmasked) skip mask evaluation entirely.
+
+GQA: q heads are grouped per kv head (layout [n_kv_heads, group, n, head_dim])
+and the group loop is unrolled inside the kernel, so each K/V block is fetched
+once per kv head, not once per q head.
+
+Numerics follow flash-attention convention: fp32 scores/softmax statistics and
+fp32 accumulators; the P·V and gradient matmuls run in the input dtype on the
+MXU. Gradients match the dense-replay baseline at bf16 tolerance (the
+reference's own parity bar, reference: grad/Qwen3-0.6B-TB-vs-DB-bf16.txt).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["BlockSizes", "tree_attention", "tree_attention_with_meta"]
+
+NUM_LANES = 128
+MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+
+
+def _interpret_mode(interpret: bool):
+    # The generic pallas interpreter (interpret=True) deadlocks
+    # nondeterministically on scalar-prefetch grids; the TPU-semantics
+    # interpreter is reliable (and emulates MXU precision).
+    return pltpu.InterpretParams() if interpret else False
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSizes:
+    block_q: int = 256
+    block_kv: int = 256
+
+    # dedicated backward block sizes could be added later; fwd sizes are used
+    # for all three kernels for now.
+
+
+# --------------------------------------------------------------------------- fwd
+
+
+def _fwd_kernel(
+    # scalar prefetch
+    ids_ref,
+    counts_ref,
+    types_ref,
+    # inputs
+    q_ref,
+    k_ref,
+    v_ref,
+    ld_ref,
+    # outputs
+    o_ref,
+    lse_ref,
+    # scratch
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    scale: float,
+    block_q: int,
+    block_kv: int,
+    group: int,
+):
+    i = pl.program_id(1)
+    s = pl.program_id(2)
+    count = counts_ref[i]
+    typ = types_ref[i, s]
+
+    @pl.when(s == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(typ > 0)
+    def _compute():
+        kv_id = ids_ref[i, s]
+        k = k_ref[0]  # [bkv, dh]
+        v = v_ref[0]
+        # interval mask, shared across the q-head group
+        row_pos = i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_kv), 0
+        )
+        col_pos = kv_id * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_kv), 1
+        )
+        ld = ld_ref[0]  # [bkv] int32
+        mask = (col_pos <= row_pos) & (row_pos <= ld[None, :])
+        mask = mask | (typ == 2)
+        bias = jnp.where(mask, 0.0, MASK_VALUE)
+
+        for gi in range(group):
+            sl = slice(gi * block_q, (gi + 1) * block_q)
+            q = q_ref[0, gi]  # [bq, dh]
+            st = (
+                jax.lax.dot_general(
+                    q,
+                    k,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+                + bias
+            )
+            m_prev = m_scr[sl]  # [bq, NUM_LANES]
+            l_prev = l_scr[sl]
+            m_cur = jnp.max(st, axis=1, keepdims=True)  # [bq, 1]
+            m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(st - m_next[:, :1])
+            l_cur = jnp.sum(p, axis=1, keepdims=True)
+            l_next = alpha * l_prev + jnp.broadcast_to(l_cur, l_prev.shape)
+            m_scr[sl] = m_next
+            l_scr[sl] = l_next
+            acc_scr[sl] = acc_scr[sl] * alpha[:, :1] + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32
+            )
+
+    @pl.when(s == count - 1)
+    def _emit():
+        for gi in range(group):
+            sl = slice(gi * block_q, (gi + 1) * block_q)
+            l = l_scr[sl][:, :1]
+            inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+            o_ref[0, gi] = (acc_scr[sl] * inv).astype(o_ref.dtype)
+            lse_ref[0, gi] = m_scr[sl] + jnp.log(jnp.maximum(l_scr[sl], 1e-30))
+
+
+def _fwd(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret):
+    hkv, group, n, dh = q4.shape
+    bq, bkv = bs.block_q, bs.block_kv
+    nq = n // bq
+    slots = kv_ids.shape[1]
+    grid = (hkv, nq, slots)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, group, bq, dh), lambda h, i, s, ids, cnt, typ: (h, 0, i, 0)),
+            pl.BlockSpec((1, bkv, dh), lambda h, i, s, ids, cnt, typ: (h, ids[i, s], 0)),
+            pl.BlockSpec((1, bkv, dh), lambda h, i, s, ids, cnt, typ: (h, ids[i, s], 0)),
+            pl.BlockSpec((1, bkv), lambda h, i, s, ids, cnt, typ: (0, ids[i, s])),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, group, bq, dh), lambda h, i, s, ids, cnt, typ: (h, 0, i, 0)),
+            pl.BlockSpec(
+                (1, group, bq, NUM_LANES), lambda h, i, s, ids, cnt, typ: (h, 0, i, 0)
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((group * bq, NUM_LANES), jnp.float32),
+            pltpu.VMEM((group * bq, NUM_LANES), jnp.float32),
+            pltpu.VMEM((group * bq, dh), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, block_q=bq, block_kv=bkv, group=group
+    )
+    o, lse_full = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(q4.shape, q4.dtype),
+            jax.ShapeDtypeStruct((hkv, group, n, NUM_LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=_interpret_mode(interpret),
+        name="tree_attention_fwd",
+    )(kv_ids, kv_counts, kv_types, q4, k, v, ld2)
+    return o, lse_full[..., 0]  # lse: [hkv, group, n]
+
+
+# ---------------------------------------------------------------------------- dq
+
+
+def _dq_kernel(
+    ids_ref,
+    counts_ref,
+    types_ref,
+    q_ref,
+    k_ref,
+    v_ref,
+    ld_ref,
+    do_ref,
+    lse_ref,
+    di_ref,
+    dq_ref,
+    dq_scr,
+    *,
+    scale: float,
+    block_q: int,
+    block_kv: int,
+    group: int,
+):
+    i = pl.program_id(1)
+    s = pl.program_id(2)
+    count = counts_ref[i]
+    typ = types_ref[i, s]
+
+    @pl.when(s == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    @pl.when(typ > 0)
+    def _compute():
+        kv_id = ids_ref[i, s]
+        k = k_ref[0]
+        v = v_ref[0]
+        # k-major orientation: rows = kv positions, lanes = q positions.
+        k_pos = kv_id * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (block_kv, block_q), 0
+        )
+        q_pos = i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_kv, block_q), 1
+        )
+        ld_col = jnp.expand_dims(ld_ref[0], -1)  # [bkv, 1]
+        mask = (k_pos <= q_pos) & (q_pos <= ld_col)
+        mask = mask | (typ == 2)
+        bias = jnp.where(mask, 0.0, MASK_VALUE)
+
+        for gi in range(group):
+            sl = slice(gi * block_q, (gi + 1) * block_q)
+            q = q_ref[0, gi]  # [bq, dh]
+            do = do_ref[0, gi]
+            lse_row = lse_ref[0, gi : gi + 1, :]  # [1, bq]
+            di_row = di_ref[0, gi : gi + 1, :]
+            st = (
+                jax.lax.dot_general(
+                    k,
+                    q,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+                + bias
+            )  # [bkv, bq]
+            p = jnp.exp(st - lse_row)
+            dp = jax.lax.dot_general(
+                v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )  # [bkv, bq]
+            ds = (dp - di_row) * p * scale
+            dq_scr[sl] += jax.lax.dot_general(
+                ds.astype(k.dtype),
+                k,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [bq, dh]
+
+    @pl.when(s == count - 1)
+    def _emit():
+        for gi in range(group):
+            sl = slice(gi * block_q, (gi + 1) * block_q)
+            dq_ref[0, gi] = dq_scr[sl].astype(dq_ref.dtype)
+
+
+def _bwd_dq(q4, k, v, ld2, kv_ids, kv_counts, kv_types, do, lse, di, scale, bs, interpret):
+    hkv, group, n, dh = q4.shape
+    bq, bkv = bs.block_q, bs.block_kv
+    nq = n // bq
+    slots = kv_ids.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(hkv, nq, slots),
+        in_specs=[
+            pl.BlockSpec((1, group, bq, dh), lambda h, i, s, *_: (h, 0, i, 0)),
+            pl.BlockSpec((1, bkv, dh), lambda h, i, s, ids, *_: (h, ids[i, s], 0)),
+            pl.BlockSpec((1, bkv, dh), lambda h, i, s, ids, *_: (h, ids[i, s], 0)),
+            pl.BlockSpec((1, bkv), lambda h, i, s, ids, *_: (0, ids[i, s])),
+            pl.BlockSpec((1, group, bq, dh), lambda h, i, s, *_: (h, 0, i, 0)),
+            pl.BlockSpec((1, group, bq), lambda h, i, s, *_: (h, 0, i)),
+            pl.BlockSpec((1, group, bq), lambda h, i, s, *_: (h, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, group, bq, dh), lambda h, i, s, *_: (h, 0, i, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((group * bq, dh), jnp.float32)],
+    )
+    kernel = functools.partial(
+        _dq_kernel, scale=scale, block_q=bq, block_kv=bkv, group=group
+    )
+    (dq,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct(q4.shape, q4.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=_interpret_mode(interpret),
+        name="tree_attention_bwd_dq",
+    )(kv_ids, kv_counts, kv_types, q4, k, v, ld2, do, lse, di)
+    return dq
+
+
+# --------------------------------------------------------------------------- dkv
+
+
+def _dkv_kernel(
+    ids_ref,
+    counts_ref,
+    types_ref,
+    q_ref,
+    k_ref,
+    v_ref,
+    ld_ref,
+    do_ref,
+    lse_ref,
+    di_ref,
+    dk_ref,
+    dv_ref,
+    dk_scr,
+    dv_scr,
+    *,
+    scale: float,
+    block_q: int,
+    block_kv: int,
+    group: int,
+):
+    j = pl.program_id(1)
+    s = pl.program_id(2)
+    count = counts_ref[j]
+    typ = types_ref[j, s]
+
+    @pl.when(s == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    @pl.when(typ > 0)
+    def _compute():
+        q_id = ids_ref[j, s]
+        k = k_ref[0]
+        v = v_ref[0]
+        k_pos = j * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (block_kv, block_q), 0
+        )
+        q_pos = q_id * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_kv, block_q), 1
+        )
+        ld_col = jnp.expand_dims(ld_ref[0], -1)
+        mask = (k_pos <= q_pos) & (q_pos <= ld_col)
+        mask = mask | (typ == 2)
+        bias = jnp.where(mask, 0.0, MASK_VALUE)
+
+        for gi in range(group):
+            q = q_ref[0, gi]
+            do = do_ref[0, gi]
+            lse_row = lse_ref[0, gi : gi + 1, :]  # [1, bq]
+            di_row = di_ref[0, gi : gi + 1, :]
+            st = (
+                jax.lax.dot_general(
+                    k,
+                    q,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+                + bias
+            )  # [bkv, bq]
+            p = jnp.exp(st - lse_row)
+            dv_scr[...] += jax.lax.dot_general(
+                p.astype(do.dtype),
+                do,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [bkv, dh]
+            dp = jax.lax.dot_general(
+                v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            ds = (dp - di_row) * p * scale
+            dk_scr[...] += jax.lax.dot_general(
+                ds.astype(q.dtype),
+                q,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [bkv, dh]
+
+    @pl.when(s == count - 1)
+    def _emit():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_dkv(q4, k, v, ld2, q_ids, q_counts, q_types, do, lse, di, scale, bs, interpret):
+    hkv, group, n, dh = q4.shape
+    bq, bkv = bs.block_q, bs.block_kv
+    nk = n // bkv
+    slots = q_ids.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(hkv, nk, slots),
+        in_specs=[
+            pl.BlockSpec((1, group, bq, dh), lambda h, j, s, ids, *_: (h, 0, ids[j, s], 0)),
+            pl.BlockSpec((1, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
+            pl.BlockSpec((1, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
+            pl.BlockSpec((1, bkv), lambda h, j, s, *_: (0, j)),
+            pl.BlockSpec((1, group, bq, dh), lambda h, j, s, ids, *_: (h, 0, ids[j, s], 0)),
+            pl.BlockSpec((1, group, bq), lambda h, j, s, ids, *_: (h, 0, ids[j, s])),
+            pl.BlockSpec((1, group, bq), lambda h, j, s, ids, *_: (h, 0, ids[j, s])),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
+            pl.BlockSpec((1, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bkv, dh), jnp.float32),
+            pltpu.VMEM((bkv, dh), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _dkv_kernel, scale=scale, block_q=bq, block_kv=bkv, group=group
+    )
+    dk, dv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=_interpret_mode(interpret),
+        name="tree_attention_bwd_dkv",
+    )(q_ids, q_counts, q_types, q4, k, v, ld2, do, lse, di)
+    return dk, dv
+
+
+# -------------------------------------------------------------------- custom_vjp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def _tree_attention(
+    q4,
+    k,
+    v,
+    ld2,
+    kv_ids,
+    kv_counts,
+    kv_types,
+    q_ids,
+    q_counts,
+    q_types,
+    scale,
+    block_sizes,
+    interpret,
+):
+    o, _ = _fwd(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, block_sizes, interpret)
+    return o
+
+
+def _tree_attention_fwd(
+    q4, k, v, ld2, kv_ids, kv_counts, kv_types, q_ids, q_counts, q_types,
+    scale, block_sizes, interpret,
+):
+    o, lse = _fwd(
+        q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, block_sizes, interpret
+    )
+    res = (q4, k, v, ld2, kv_ids, kv_counts, kv_types, q_ids, q_counts, q_types, o, lse)
+    return o, res
+
+
+def _tree_attention_bwd(scale, block_sizes, interpret, res, do):
+    (q4, k, v, ld2, kv_ids, kv_counts, kv_types, q_ids, q_counts, q_types, o, lse) = res
+    di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [hkv,g,n]
+    dq = _bwd_dq(
+        q4, k, v, ld2, kv_ids, kv_counts, kv_types, do, lse, di, scale, block_sizes,
+        interpret,
+    )
+    dk, dv = _bwd_dkv(
+        q4, k, v, ld2, q_ids, q_counts, q_types, do, lse, di, scale, block_sizes,
+        interpret,
+    )
+    return (dq, dk, dv, None, None, None, None, None, None, None)
+
+
+_tree_attention.defvjp(_tree_attention_fwd, _tree_attention_bwd)
+
+
+# ------------------------------------------------------------------- public API
+
+
+def tree_attention(
+    q: jnp.ndarray,  # [Hq, n, dh]
+    k: jnp.ndarray,  # [Hkv, n, dh]
+    v: jnp.ndarray,  # [Hkv, n, dh]
+    last_desc: jnp.ndarray,  # [n] int32
+    kv_ids: jnp.ndarray,  # [nq, S] int32
+    kv_counts: jnp.ndarray,  # [nq] int32
+    kv_types: jnp.ndarray,  # [nq, S] int32
+    q_ids: jnp.ndarray,  # [nk, St] int32
+    q_counts: jnp.ndarray,  # [nk] int32
+    q_types: jnp.ndarray,  # [nk, St] int32
+    *,
+    scale: float | None = None,
+    block_sizes: BlockSizes = BlockSizes(),
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Tree-masked flash attention over a packed DFS trie layout."""
+    hq, n, dh = q.shape
+    hkv = k.shape[0]
+    if hq % hkv:
+        raise ValueError(f"{hq=} not a multiple of {hkv=}")
+    if n % block_sizes.block_q or n % block_sizes.block_kv:
+        raise ValueError(f"{n=} must divide block sizes {block_sizes}")
+    group = hq // hkv
+    if scale is None:
+        scale = dh**-0.5
+    q4 = q.reshape(hkv, group, n, dh)
+    ld2 = last_desc.reshape(1, n).astype(jnp.int32)
+    o = _tree_attention(
+        q4,
+        k,
+        v,
+        ld2,
+        kv_ids.astype(jnp.int32),
+        kv_counts.astype(jnp.int32),
+        kv_types.astype(jnp.int32),
+        q_ids.astype(jnp.int32),
+        q_counts.astype(jnp.int32),
+        q_types.astype(jnp.int32),
+        float(scale),
+        block_sizes,
+        bool(interpret),
+    )
+    return o.reshape(hq, n, dh)
+
+
+def tree_attention_with_meta(q, k, v, last_desc, meta, **kw):
+    """Convenience: accept a tries.BlockMeta (numpy) directly."""
+    return tree_attention(
+        q,
+        k,
+        v,
+        last_desc,
+        jnp.asarray(meta.kv_ids),
+        jnp.asarray(meta.kv_counts),
+        jnp.asarray(meta.kv_types),
+        jnp.asarray(meta.q_ids),
+        jnp.asarray(meta.q_counts),
+        jnp.asarray(meta.q_types),
+        block_sizes=BlockSizes(meta.block_q, meta.block_kv),
+        **kw,
+    )

@@ -13,3 +13,15 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# Persistent compilation cache: interpret-mode Pallas compiles are slow (~1min)
+# but fully cacheable across test runs.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+# This JAX build defaults f32 matmuls to bf16 MXU passes (TPU convention) even
+# on CPU; parity oracles need true f32 matmuls.
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")

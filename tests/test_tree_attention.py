@@ -1,0 +1,123 @@
+"""Tree-attention correctness tests.
+
+Strategy (SURVEY.md §4 implication — the reference repo has no tests):
+
+* CPU (always): the blocked simulator — which executes the kernels' exact
+  block-sparse iteration, masking, and online-softmax math — against the
+  dense-mask reference, over random tries and GQA configs.
+* CPU (opt-in, RUN_INTERPRET=1): the actual Pallas kernel in TPU-interpret
+  mode on a tiny grid (interpret compiles take minutes for grouped kernels).
+* Real TPU: scripts/tpu_kernel_check.py runs Pallas fwd+bwd parity at bf16 —
+  executed as part of benching, not in this CPU suite.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamictreeattn_tpu.ops import BlockSizes, tree_attention_reference
+from dynamictreeattn_tpu.ops.tree_attention import tree_attention
+from dynamictreeattn_tpu.ops.tree_attention_sim import tree_attention_blocked_sim
+from dynamictreeattn_tpu.tries import build_block_meta
+
+from helpers import random_packed
+
+
+def _meta_args(meta):
+    return (
+        jnp.asarray(meta.kv_ids),
+        jnp.asarray(meta.kv_counts),
+        jnp.asarray(meta.kv_types),
+        jnp.asarray(meta.q_ids),
+        jnp.asarray(meta.q_counts),
+        jnp.asarray(meta.q_types),
+    )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("hq,hkv", [(2, 2), (4, 2), (8, 2), (4, 1)])
+def test_sim_forward_matches_reference(seed, hq, hkv):
+    rng = np.random.default_rng(seed)
+    block, n, dh = 32, 256, 32
+    _, _, packed, meta = random_packed(rng, n, block, n_seqs=20, max_len=60)
+    key = jax.random.key(seed)
+    kq, kk, kv_ = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (hq, n, dh), dtype=jnp.float32)
+    k = jax.random.normal(kk, (hkv, n, dh), dtype=jnp.float32)
+    v = jax.random.normal(kv_, (hkv, n, dh), dtype=jnp.float32)
+    ld = jnp.asarray(packed.last_desc)
+
+    out = tree_attention_blocked_sim(q, k, v, packed.last_desc, meta)
+    ref = tree_attention_reference(q, k, v, ld)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_sim_backward_matches_reference():
+    rng = np.random.default_rng(3)
+    block, n, dh = 32, 128, 32
+    hq, hkv = 4, 2
+    _, _, packed, meta = random_packed(rng, n, block, n_seqs=10, max_len=30)
+    key = jax.random.key(103)
+    kq, kk, kv_, kc = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (hq, n, dh), dtype=jnp.float32)
+    k = jax.random.normal(kk, (hkv, n, dh), dtype=jnp.float32)
+    v = jax.random.normal(kv_, (hkv, n, dh), dtype=jnp.float32)
+    cot = jax.random.normal(kc, (hq, n, dh), dtype=jnp.float32)
+    ld = jnp.asarray(packed.last_desc)
+
+    def f_sim(q, k, v):
+        return jnp.sum(tree_attention_blocked_sim(q, k, v, packed.last_desc, meta) * cot)
+
+    def f_ref(q, k, v):
+        return jnp.sum(tree_attention_reference(q, k, v, ld) * cot)
+
+    gk = jax.grad(f_sim, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gk, gr, ["dq", "dk", "dv"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-5, err_msg=name
+        )
+
+
+def test_sim_dense_chain_equals_causal():
+    """A forest of chains (the dense baseline layout) == causal attention per
+    chain — sanity for using the same engine as the dense baseline."""
+    n, block, dh = 128, 32, 32
+    last_desc = np.concatenate([np.full(64, 63), np.full(64, 127)]).astype(np.int32)
+    meta = build_block_meta(last_desc, block, block)
+    q = jax.random.normal(jax.random.key(0), (4, n, dh), dtype=jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (2, n, dh), dtype=jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (2, n, dh), dtype=jnp.float32)
+    out = tree_attention_blocked_sim(q, k, v, last_desc, meta)
+    for lo, hi in [(0, 64), (64, 128)]:
+        ld_local = jnp.full((hi - lo,), hi - lo - 1, dtype=jnp.int32)
+        ref = tree_attention_reference(q[:, lo:hi], k[:, lo:hi], v[:, lo:hi], ld_local)
+        np.testing.assert_allclose(
+            np.asarray(out[:, lo:hi]), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_INTERPRET"),
+    reason="Pallas interpret-mode compile is minutes-slow; opt in with RUN_INTERPRET=1. "
+    "Real-kernel parity runs on TPU via scripts/tpu_kernel_check.py.",
+)
+def test_pallas_interpret_forward_tiny():
+    rng = np.random.default_rng(0)
+    block, n, dh = 32, 64, 32
+    hq = hkv = 2  # group=1: grouped kernels blow up interpret compile time
+    _, _, packed, meta = random_packed(rng, n, block, n_seqs=6, max_len=20)
+    q = jax.random.normal(jax.random.key(0), (hq, n, dh), dtype=jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (hkv, n, dh), dtype=jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (hkv, n, dh), dtype=jnp.float32)
+    ld = jnp.asarray(packed.last_desc)
+    with jax.default_matmul_precision("highest"):
+        out = tree_attention(
+            q, k, v, ld, *_meta_args(meta),
+            block_sizes=BlockSizes(block, block), interpret=True,
+        )
+        ref = tree_attention_reference(q, k, v, ld)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
