@@ -1,0 +1,127 @@
+"""Bridges between this framework's Qwen3 params and HF transformers layout.
+
+Used for (a) loading real pretrained checkpoints from HF safetensors
+directories, and (b) the CPU parity test that proves the JAX model is the same
+function as HF's Qwen3ForCausalLM (the model the reference trains through,
+reference: run.py:199-204).
+
+HF nn.Linear stores weights [out, in]; this framework stores [in, out].
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from dynamictreeattn_tpu.models.qwen3 import Qwen3Config
+
+__all__ = ["to_hf_state_dict", "from_hf_state_dict", "load_hf_checkpoint", "hf_config"]
+
+
+def hf_config(config: Qwen3Config):
+    """Build the matching transformers Qwen3Config."""
+    from transformers.models.qwen3 import Qwen3Config as HFQwen3Config
+
+    return HFQwen3Config(
+        vocab_size=config.vocab_size,
+        hidden_size=config.hidden_size,
+        intermediate_size=config.intermediate_size,
+        num_hidden_layers=config.num_hidden_layers,
+        num_attention_heads=config.num_attention_heads,
+        num_key_value_heads=config.num_key_value_heads,
+        head_dim=config.head_dim,
+        rms_norm_eps=config.rms_norm_eps,
+        rope_theta=config.rope_theta,
+        tie_word_embeddings=config.tie_word_embeddings,
+        attention_bias=False,
+    )
+
+
+def to_hf_state_dict(params: dict, config: Qwen3Config) -> dict:
+    """Numpy state dict in HF Qwen3ForCausalLM naming."""
+    c = config
+    lp = params["layers"]
+    out = {"model.embed_tokens.weight": np.asarray(params["embed"], np.float32)}
+    for i in range(c.num_hidden_layers):
+        pre = f"model.layers.{i}."
+        out[pre + "input_layernorm.weight"] = np.asarray(lp["ln1"][i], np.float32)
+        out[pre + "post_attention_layernorm.weight"] = np.asarray(
+            lp["ln2"][i], np.float32
+        )
+        out[pre + "self_attn.q_proj.weight"] = np.asarray(lp["wq"][i], np.float32).T
+        out[pre + "self_attn.k_proj.weight"] = np.asarray(lp["wk"][i], np.float32).T
+        out[pre + "self_attn.v_proj.weight"] = np.asarray(lp["wv"][i], np.float32).T
+        out[pre + "self_attn.o_proj.weight"] = np.asarray(lp["wo"][i], np.float32).T
+        out[pre + "self_attn.q_norm.weight"] = np.asarray(lp["q_norm"][i], np.float32)
+        out[pre + "self_attn.k_norm.weight"] = np.asarray(lp["k_norm"][i], np.float32)
+        out[pre + "mlp.gate_proj.weight"] = np.asarray(lp["gate"][i], np.float32).T
+        out[pre + "mlp.up_proj.weight"] = np.asarray(lp["up"][i], np.float32).T
+        out[pre + "mlp.down_proj.weight"] = np.asarray(lp["down"][i], np.float32).T
+    out["model.norm.weight"] = np.asarray(params["final_norm"], np.float32)
+    if c.tie_word_embeddings:
+        out["lm_head.weight"] = out["model.embed_tokens.weight"]
+    else:
+        out["lm_head.weight"] = np.asarray(params["lm_head"], np.float32).T
+    return out
+
+
+def from_hf_state_dict(sd: dict, config: Qwen3Config, dtype=None) -> dict:
+    """Inverse of to_hf_state_dict. `sd` values: numpy-convertible arrays."""
+    import jax.numpy as jnp
+
+    c = config
+    dtype = dtype or jnp.bfloat16
+
+    def get(name):
+        return np.asarray(sd[name], np.float32)
+
+    def stack(fmt):
+        return jnp.asarray(
+            np.stack([get(fmt.format(i)) for i in range(c.num_hidden_layers)]), dtype
+        )
+
+    def stack_t(fmt):
+        return jnp.asarray(
+            np.stack(
+                [get(fmt.format(i)).T for i in range(c.num_hidden_layers)]
+            ),
+            dtype,
+        )
+
+    params = {
+        "embed": jnp.asarray(get("model.embed_tokens.weight"), dtype),
+        "layers": {
+            "ln1": stack("model.layers.{}.input_layernorm.weight"),
+            "ln2": stack("model.layers.{}.post_attention_layernorm.weight"),
+            "wq": stack_t("model.layers.{}.self_attn.q_proj.weight"),
+            "wk": stack_t("model.layers.{}.self_attn.k_proj.weight"),
+            "wv": stack_t("model.layers.{}.self_attn.v_proj.weight"),
+            "wo": stack_t("model.layers.{}.self_attn.o_proj.weight"),
+            "q_norm": stack("model.layers.{}.self_attn.q_norm.weight"),
+            "k_norm": stack("model.layers.{}.self_attn.k_norm.weight"),
+            "gate": stack_t("model.layers.{}.mlp.gate_proj.weight"),
+            "up": stack_t("model.layers.{}.mlp.up_proj.weight"),
+            "down": stack_t("model.layers.{}.mlp.down_proj.weight"),
+        },
+        "final_norm": jnp.asarray(get("model.norm.weight"), dtype),
+    }
+    if not c.tie_word_embeddings:
+        params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype)
+    return params
+
+
+def load_hf_checkpoint(path: str, config: Qwen3Config, dtype=None) -> dict:
+    """Load params from a HF checkpoint directory (safetensors shards)."""
+    import glob
+    import os
+
+    from safetensors.numpy import load_file
+
+    sd = {}
+    files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    if not files:
+        raise FileNotFoundError(f"no safetensors under {path}")
+    for f in files:
+        sd.update(load_file(f))
+    if "lm_head.weight" not in sd and config.tie_word_embeddings:
+        sd["lm_head.weight"] = sd["model.embed_tokens.weight"]
+    return from_hf_state_dict(sd, config, dtype)

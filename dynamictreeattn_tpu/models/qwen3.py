@@ -1,0 +1,226 @@
+"""Functional JAX Qwen3.
+
+Architecture (matches HF `transformers` Qwen3ForCausalLM, the model family the
+reference benchmarks — reference: run.py:246-250, exp/exp_tree.py:4-9):
+token embedding → L × [RMSNorm → GQA attention with per-head q/k RMSNorm and
+RoPE → residual → RMSNorm → SwiGLU MLP → residual] → final RMSNorm → LM head
+(tied to the embedding for the smaller models).
+
+Design choices (TPU-first):
+
+* Parameters are a flat pytree of arrays with **layers stacked** on a leading
+  [L, ...] axis and the layer loop expressed as `lax.scan` — one layer's HLO is
+  compiled once regardless of depth, and `jax.checkpoint` on the scanned body
+  gives activation rematerialization (the role of the reference's
+  `--act-ckpt` HF gradient checkpointing, reference: dense.py:29-32).
+* The attention callable is injected: the engine passes the Pallas tree
+  kernel (closure over mask metadata), the dense baseline passes causal
+  metadata, and CPU tests pass the jnp reference. The model operates on a
+  packed token layout [n] with explicit position ids (= trie depths;
+  the reference gets positions implicitly from KV-cache offsets).
+* Norms, RoPE, and softmax statistics run in fp32; matmuls in the param dtype
+  (bf16 on TPU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "Qwen3Config",
+    "MODEL_CONFIGS",
+    "init_params",
+    "forward_hidden",
+    "logits_from_hidden",
+    "lm_head_weight",
+]
+
+
+@dataclasses.dataclass(frozen=True)
+class Qwen3Config:
+    vocab_size: int = 151936
+    hidden_size: int = 1024
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1_000_000.0
+    tie_word_embeddings: bool = True
+
+    @property
+    def group(self) -> int:
+        return self.num_attention_heads // self.num_key_value_heads
+
+
+# Published Qwen3 dense family configs (the reference's sweep models,
+# reference: exp/exp_tree.py:4-9 + the 0.6B parity model, run.py:246-250).
+MODEL_CONFIGS: dict[str, Qwen3Config] = {
+    "qwen3-0.6b": Qwen3Config(
+        hidden_size=1024, intermediate_size=3072, num_hidden_layers=28,
+        num_attention_heads=16, num_key_value_heads=8, tie_word_embeddings=True,
+    ),
+    "qwen3-1.7b": Qwen3Config(
+        hidden_size=2048, intermediate_size=6144, num_hidden_layers=28,
+        num_attention_heads=16, num_key_value_heads=8, tie_word_embeddings=True,
+    ),
+    "qwen3-4b": Qwen3Config(
+        hidden_size=2560, intermediate_size=9728, num_hidden_layers=36,
+        num_attention_heads=32, num_key_value_heads=8, tie_word_embeddings=True,
+    ),
+    "qwen3-8b": Qwen3Config(
+        hidden_size=4096, intermediate_size=12288, num_hidden_layers=36,
+        num_attention_heads=32, num_key_value_heads=8, tie_word_embeddings=False,
+    ),
+    "qwen3-14b": Qwen3Config(
+        hidden_size=5120, intermediate_size=17408, num_hidden_layers=40,
+        num_attention_heads=40, num_key_value_heads=8, tie_word_embeddings=False,
+    ),
+}
+
+
+# ----------------------------------------------------------------------- params
+
+
+def init_params(config: Qwen3Config, key, dtype=jnp.bfloat16) -> dict:
+    c = config
+    d, dh = c.hidden_size, c.head_dim
+    hq, hkv = c.num_attention_heads, c.num_key_value_heads
+    L, I, V = c.num_hidden_layers, c.intermediate_size, c.vocab_size
+    keys = jax.random.split(key, 8)
+
+    def norm(*shape):
+        return jnp.ones(shape, dtype)
+
+    def dense(k, fan_in, *shape):
+        return (jax.random.normal(k, shape, jnp.float32) * fan_in**-0.5).astype(dtype)
+
+    params = {
+        "embed": dense(keys[0], d, V, d),  # scaled like HF init ~N(0, 0.02)-ish
+        "layers": {
+            "ln1": norm(L, d),
+            "ln2": norm(L, d),
+            "wq": dense(keys[1], d, L, d, hq * dh),
+            "wk": dense(keys[2], d, L, d, hkv * dh),
+            "wv": dense(keys[3], d, L, d, hkv * dh),
+            "wo": dense(keys[4], hq * dh, L, hq * dh, d),
+            "q_norm": norm(L, dh),
+            "k_norm": norm(L, dh),
+            "gate": dense(keys[5], d, L, d, I),
+            "up": dense(keys[6], d, L, d, I),
+            "down": dense(keys[7], I, L, I, d),
+        },
+        "final_norm": norm(d),
+    }
+    if not c.tie_word_embeddings:
+        params["lm_head"] = dense(jax.random.split(keys[0])[0], d, d, V)
+    return params
+
+
+def lm_head_weight(params: dict, config: Qwen3Config) -> jnp.ndarray:
+    """[d, V] LM head; transposed embedding when tied."""
+    if config.tie_word_embeddings:
+        return params["embed"].T
+    return params["lm_head"]
+
+
+# ---------------------------------------------------------------------- helpers
+
+
+def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    out = xf * jax.lax.rsqrt(var + eps)
+    return (out * weight.astype(jnp.float32)).astype(x.dtype)
+
+
+def rope_tables(positions: jnp.ndarray, head_dim: int, theta: float):
+    """(cos, sin) [n, head_dim] in fp32, HF rotate-half layout."""
+    half = head_dim // 2
+    inv_freq = 1.0 / (
+        theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
+    )  # [half]
+    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [n, half]
+    angles = jnp.concatenate([angles, angles], axis=-1)  # [n, dh]
+    return jnp.cos(angles), jnp.sin(angles)
+
+
+def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:
+    """x: [n, H, dh]; cos/sin: [n, dh]."""
+    xf = x.astype(jnp.float32)
+    half = x.shape[-1] // 2
+    x1, x2 = xf[..., :half], xf[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    out = xf * cos[:, None, :] + rotated * sin[:, None, :]
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------- forward
+
+AttnFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+
+
+def _layer(x, lp, cos, sin, config: Qwen3Config, attn_fn: AttnFn):
+    c = config
+    n, d = x.shape
+    dh = c.head_dim
+    hq, hkv = c.num_attention_heads, c.num_key_value_heads
+    eps = c.rms_norm_eps
+
+    # --- attention block
+    h = rms_norm(x, lp["ln1"], eps)
+    q = (h @ lp["wq"]).reshape(n, hq, dh)
+    k = (h @ lp["wk"]).reshape(n, hkv, dh)
+    v = (h @ lp["wv"]).reshape(n, hkv, dh)
+    q = rms_norm(q, lp["q_norm"], eps)  # per-head RMS over head_dim
+    k = rms_norm(k, lp["k_norm"], eps)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    o = attn_fn(
+        q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2)
+    )  # [hq, n, dh]
+    o = o.transpose(1, 0, 2).reshape(n, hq * dh)
+    x = x + o @ lp["wo"]
+
+    # --- MLP block
+    h = rms_norm(x, lp["ln2"], eps)
+    act = jax.nn.silu((h @ lp["gate"]).astype(jnp.float32)).astype(h.dtype)
+    x = x + (act * (h @ lp["up"])) @ lp["down"]
+    return x
+
+
+def forward_hidden(
+    params: dict,
+    config: Qwen3Config,
+    tokens: jnp.ndarray,  # [n] int32
+    positions: jnp.ndarray,  # [n] int32 (trie depths / sequence positions)
+    attn_fn: AttnFn,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Returns final-norm'd hidden states [n, d] (LM head applied separately
+    so losses can fuse it — ops/losses.py)."""
+    c = config
+    x = jnp.take(params["embed"], tokens, axis=0)
+    cos, sin = rope_tables(positions, c.head_dim, c.rope_theta)
+
+    body = functools.partial(_layer, config=c, attn_fn=attn_fn)
+
+    def scan_fn(carry, lp):
+        return body(carry, lp, cos, sin), None
+
+    if remat:
+        scan_fn = jax.checkpoint(scan_fn, prevent_cse=False)
+    x, _ = jax.lax.scan(scan_fn, x, params["layers"])
+    return rms_norm(x, params["final_norm"], c.rms_norm_eps)
+
+
+def logits_from_hidden(params, config, hidden: jnp.ndarray) -> jnp.ndarray:
+    """[n, V] fp32 logits — test/debug path; training uses the fused loss."""
+    w = lm_head_weight(params, config)
+    return jnp.dot(hidden, w, preferred_element_type=jnp.float32)
