@@ -1,0 +1,238 @@
+"""TreeEngine: fused single-pass trie training.
+
+Reference counterpart: TreeTrainingEngine (tree_training_engine.py:52-616) and
+the dense baseline (dense.py:1-53). API parity:
+
+* ``forward(params, batch)`` → per-sequence logprob vectors keyed by
+  ``_sequence_batch_id`` (reference: tree_training_engine.py:516-553 returns
+  ``logprobs[:len-1]`` per sequence) — the RL ratio-denominator path.
+* ``loss_and_grad(params, batch)`` → (loss, grads, aux): the training path,
+  replacing ``backward()``'s DFS of push/pop with autograd injection
+  (reference: tree_training_engine.py:555-616).
+
+The reference's engine knobs disappear by design:
+- ``block_size``/``pop_byblock`` (memory bounding) → Pallas kernel block
+  streaming + `jax.checkpoint` remat over layers + chunked LM-head loss;
+- ``cut_f1_tail`` (avoiding double forwards) → moot, every trie token is
+  forwarded exactly once;
+- fork-logit stash → moot, per-edge label gathers (ops/losses.py).
+
+Static-shape discipline: packed length is padded to a bucket and block-sparse
+metadata slots are padded to power-of-two widths, so jit recompiles only on
+bucket changes (SURVEY.md §7.3 hard part 3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamictreeattn_tpu.models.qwen3 import (
+    Qwen3Config,
+    forward_hidden,
+    lm_head_weight,
+)
+from dynamictreeattn_tpu.ops.losses import logprob_entropy_from_hidden
+from dynamictreeattn_tpu.ops.tree_attention import BlockSizes, tree_attention
+from dynamictreeattn_tpu.ops.tree_attention_ref import tree_attention_reference
+from dynamictreeattn_tpu.tries import PackedTrie, TokenTrie, build_block_meta, flatten_trie, pack_forest
+
+__all__ = ["EngineConfig", "TrieBatch", "TreeEngine", "pack_sequences_dense"]
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    block_q: int = 256
+    block_kv: int = 256
+    remat: bool = True
+    temperature: float = 1.0
+    loss_chunk: int = 1024
+    attn_backend: str = "pallas"  # "pallas" | "reference"
+    interpret: bool = False  # pallas interpret mode (CPU debugging)
+
+    @property
+    def pad_multiple(self) -> int:
+        # metadata needs the padded length to divide both block sizes
+        import math
+
+        return math.lcm(self.block_q, self.block_kv)
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(0, (x - 1)).bit_length()
+
+
+@dataclasses.dataclass
+class TrieBatch:
+    """Device-ready packed trie + host-side metadata for result extraction."""
+
+    packed: PackedTrie  # host
+    tokens: jnp.ndarray
+    depth: jnp.ndarray
+    parent: jnp.ndarray
+    last_desc: jnp.ndarray
+    w_logprob: jnp.ndarray
+    w_entropy: jnp.ndarray
+    meta: tuple  # (kv_ids, kv_counts, kv_types, q_ids, q_counts, q_types)
+
+    @property
+    def n_padded(self) -> int:
+        return self.packed.n_padded
+
+
+class TreeEngine:
+    def __init__(self, model_config: Qwen3Config, config: EngineConfig = EngineConfig()):
+        self.mc = model_config
+        self.cfg = config
+        self._grad_fn = jax.jit(
+            jax.value_and_grad(self._loss, has_aux=True), static_argnums=()
+        )
+        self._loss_fn = jax.jit(self._loss)
+        self._lp_fn = jax.jit(self._logprobs)
+
+    # ----------------------------------------------------------- preparation
+    def prepare(self, trie_or_packed) -> TrieBatch:
+        """Flatten (if needed), pad to bucket, build block metadata, upload."""
+        cfg = self.cfg
+        if isinstance(trie_or_packed, TokenTrie):
+            packed = flatten_trie(trie_or_packed)
+        else:
+            packed = trie_or_packed
+        m = cfg.pad_multiple
+        n_pad = max(m, -(-packed.n_padded // m) * m)
+        if packed.n_padded != n_pad:
+            # re-pad to the bucket (flatten's _pad_packed is idempotent here)
+            from dynamictreeattn_tpu.tries.flatten import _pad_packed
+
+            packed = _pad_packed(packed, n_pad)
+        meta = build_block_meta(packed.last_desc, cfg.block_q, cfg.block_kv)
+        # stabilize compiled shapes: pad slot widths to powers of two
+        meta = build_block_meta(
+            packed.last_desc,
+            cfg.block_q,
+            cfg.block_kv,
+            min_kv_slots=_next_pow2(meta.kv_ids.shape[1]),
+            min_q_slots=_next_pow2(meta.q_ids.shape[1]),
+        )
+        return TrieBatch(
+            packed=packed,
+            tokens=jnp.asarray(packed.tokens),
+            depth=jnp.asarray(packed.depth),
+            parent=jnp.asarray(packed.parent),
+            last_desc=jnp.asarray(packed.last_desc),
+            w_logprob=jnp.asarray(packed.w_logprob),
+            w_entropy=jnp.asarray(packed.w_entropy),
+            meta=tuple(
+                jnp.asarray(x)
+                for x in (
+                    meta.kv_ids,
+                    meta.kv_counts,
+                    meta.kv_types,
+                    meta.q_ids,
+                    meta.q_counts,
+                    meta.q_types,
+                )
+            ),
+        )
+
+    # ------------------------------------------------------------- internals
+    def _attn_fn(self, last_desc, meta):
+        cfg = self.cfg
+        if cfg.attn_backend == "reference":
+            return lambda q, k, v: tree_attention_reference(q, k, v, last_desc)
+        if cfg.attn_backend == "pallas":
+            bs = BlockSizes(cfg.block_q, cfg.block_kv)
+            return lambda q, k, v: tree_attention(
+                q, k, v, last_desc, *meta, block_sizes=bs, interpret=cfg.interpret
+            )
+        raise ValueError(f"unknown attn_backend {cfg.attn_backend!r}")
+
+    def _hidden(self, params, tokens, depth, last_desc, meta):
+        return forward_hidden(
+            params,
+            self.mc,
+            tokens,
+            depth,
+            self._attn_fn(last_desc, meta),
+            remat=self.cfg.remat,
+        )
+
+    def _logprobs(self, params, tokens, depth, parent, last_desc, meta):
+        hidden = self._hidden(params, tokens, depth, last_desc, meta)
+        w_lm = lm_head_weight(params, self.mc)
+        return logprob_entropy_from_hidden(
+            hidden, w_lm, tokens, parent,
+            self.cfg.temperature, self.cfg.loss_chunk,
+        )
+
+    def _loss(self, params, tokens, depth, parent, last_desc, w_lp, w_ent, meta):
+        lp_edge, entropy = self._logprobs(
+            params, tokens, depth, parent, last_desc, meta
+        )
+        sum_lp = jnp.sum(w_lp * lp_edge)
+        sum_ent = jnp.sum(w_ent * entropy)
+        loss = sum_lp + sum_ent
+        return loss, {"sum_logprob": sum_lp, "sum_entropy": sum_ent}
+
+    # -------------------------------------------------------------- user API
+    def loss(self, params, batch: TrieBatch):
+        loss, aux = self._loss_fn(
+            params, batch.tokens, batch.depth, batch.parent, batch.last_desc,
+            batch.w_logprob, batch.w_entropy, batch.meta,
+        )
+        return loss, aux
+
+    def loss_and_grad(self, params, batch: TrieBatch):
+        (loss, aux), grads = self._grad_fn(
+            params, batch.tokens, batch.depth, batch.parent, batch.last_desc,
+            batch.w_logprob, batch.w_entropy, batch.meta,
+        )
+        return loss, grads, aux
+
+    def forward(self, params, batch: TrieBatch) -> dict[int, np.ndarray]:
+        """Inference-mode per-sequence logprobs (reference:
+        tree_training_engine.py:516-553): {_sequence_batch_id:
+        fp32 array of length len(seq)-1}."""
+        lp_edge, _ = self._lp_fn(
+            params, batch.tokens, batch.depth, batch.parent, batch.last_desc,
+            batch.meta,
+        )
+        lp_edge = np.asarray(lp_edge)
+        out: dict[int, np.ndarray] = {}
+        packed = batch.packed
+        for s in range(len(packed.seq_batch_ids)):
+            path = packed.seq_path(s)
+            out[int(packed.seq_batch_ids[s])] = lp_edge[path[1:]]
+        return out
+
+
+def pack_sequences_dense(
+    seqs, attachs=None, pad_multiple: int = 256, weight_fn=None
+) -> PackedTrie:
+    """Dense-replay packing: every sequence its own chain (zero sharing).
+
+    Running TreeEngine on this packing IS the dense baseline
+    (reference: dense.py:26-53 per-sequence replay) — identical math,
+    no prefix reuse, so speedup measures exactly the tree machinery."""
+    if attachs is None:
+        attachs = [{} for _ in seqs]
+    kw = {"weight_fn": weight_fn} if weight_fn is not None else {}
+    chains = []
+    for i, (s, a) in enumerate(zip(seqs, attachs)):
+        t = TokenTrie([s], [dict(a)])
+        # keep the original batch id (TokenTrie re-keys to its local index 0)
+        t.attach_lists[0] = [
+            (dict(att, _sequence_batch_id=i), length)
+            for att, length in t.attach_lists[0]
+        ]
+        chains.append(flatten_trie(t, **kw))
+    packed = pack_forest(chains)
+    m = pad_multiple
+    n_pad = max(m, -(-packed.n_padded // m) * m)
+    from dynamictreeattn_tpu.tries.flatten import _pad_packed
+
+    return _pad_packed(packed, n_pad)
