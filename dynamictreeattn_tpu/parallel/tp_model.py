@@ -1,0 +1,112 @@
+"""Explicit tensor-parallel Qwen3 forward (runs inside shard_map).
+
+Megatron-style partitioning over the "model" mesh axis (the sharding the
+reference leaves to its host framework, reference: vocab_parallel.py:406-414):
+
+* embedding: vocab-sharded rows, masked local gather + psum;
+* attention: heads sharded (GQA co-located: q-head groups live with their kv
+  head — zero comms during attention); o_proj row-sharded → psum;
+* MLP: gate/up column-sharded, down row-sharded → psum;
+* norms replicated (fp32 math).
+
+Two psums per layer + one for the embedding — all riding ICI.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from dynamictreeattn_tpu.parallel.collectives import mpar_in, mpar_out
+from dynamictreeattn_tpu.models.qwen3 import (
+    Qwen3Config,
+    apply_rope,
+    rms_norm,
+    rope_tables,
+)
+
+__all__ = ["forward_hidden_tp", "tp_param_shard_info", "mpar_in", "mpar_out"]
+
+
+def tp_param_shard_info(config: Qwen3Config, tp: int) -> dict:
+    """Sanity info: which dims shard; raises if the config can't shard tp-ways."""
+    c = config
+    if c.num_key_value_heads % tp:
+        raise ValueError(f"kv heads {c.num_key_value_heads} not divisible by {tp=}")
+    if c.vocab_size % tp or c.intermediate_size % tp:
+        raise ValueError("vocab/intermediate not divisible by tp")
+    return {
+        "local_q_heads": c.num_attention_heads // tp,
+        "local_kv_heads": c.num_key_value_heads // tp,
+        "local_vocab": c.vocab_size // tp,
+        "local_intermediate": c.intermediate_size // tp,
+    }
+
+
+def _embed_vp(embed_local, tokens, axis):
+    v_local = embed_local.shape[0]
+    off = jax.lax.axis_index(axis) * v_local
+    in_range = (tokens >= off) & (tokens < off + v_local)
+    local_tok = jnp.clip(tokens - off, 0, v_local - 1)
+    x = jnp.take(embed_local, local_tok, axis=0)
+    x = jnp.where(in_range[:, None], x, 0)
+    return mpar_out(x, axis)
+
+
+def _layer_tp(x, lp, cos, sin, config: Qwen3Config, attn_fn, tp: int, axis: str):
+    c = config
+    n = x.shape[0]
+    dh = c.head_dim
+    hq_l = c.num_attention_heads // tp
+    hkv_l = c.num_key_value_heads // tp
+    eps = c.rms_norm_eps
+
+    h = mpar_in(rms_norm(x, lp["ln1"], eps), axis)
+    q = (h @ lp["wq"]).reshape(n, hq_l, dh)
+    k = (h @ lp["wk"]).reshape(n, hkv_l, dh)
+    v = (h @ lp["wv"]).reshape(n, hkv_l, dh)
+    q = rms_norm(q, lp["q_norm"], eps)
+    k = rms_norm(k, lp["k_norm"], eps)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+    o = attn_fn(q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2))
+    o = o.transpose(1, 0, 2).reshape(n, hq_l * dh)
+    x = x + mpar_out(o @ lp["wo"], axis)
+
+    h = mpar_in(rms_norm(x, lp["ln2"], eps), axis)
+    act = jax.nn.silu((h @ lp["gate"]).astype(jnp.float32)).astype(h.dtype)
+    x = x + mpar_out((act * (h @ lp["up"])) @ lp["down"], axis)
+    return x
+
+
+def forward_hidden_tp(
+    params_local: dict,
+    config: Qwen3Config,
+    tokens: jnp.ndarray,
+    positions: jnp.ndarray,
+    attn_fn,
+    tp: int,
+    axis: str = "model",
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Like models.qwen3.forward_hidden but on tp-sharded local params.
+
+    `attn_fn` receives LOCAL head shards [hq/tp, n, dh]."""
+    c = config
+    x = _embed_vp(params_local["embed"], tokens, axis)
+    x = x.astype(params_local["layers"]["wq"].dtype)
+    cos, sin = rope_tables(positions, c.head_dim, c.rope_theta)
+
+    body = functools.partial(_layer_tp, config=c, attn_fn=attn_fn, tp=tp, axis=axis)
+
+    def scan_fn(carry, lp):
+        return body(carry, lp, cos, sin), None
+
+    if remat:
+        scan_fn = jax.checkpoint(scan_fn, prevent_cse=False)
+    x, _ = jax.lax.scan(scan_fn, x, params_local["layers"])
+    # final mpar_in: the vocab-parallel loss produces per-rank partial hidden
+    # cotangents (its vocab shard only)
+    return mpar_in(rms_norm(x, params_local["final_norm"], c.rms_norm_eps), axis)

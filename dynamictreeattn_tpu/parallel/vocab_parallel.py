@@ -1,0 +1,100 @@
+"""Vocab-parallel log-prob / entropy over a sharded LM head.
+
+The TPU-native counterpart of the reference's Megatron-style custom autograd
+functions (reference: vocab_parallel.py:82-370). The logits stay sharded
+[n, V/tp] on the "model" axis; four collectives per chunk reproduce the
+reference's NCCL all_reduces (reference: vocab_parallel.py:263-298):
+
+    pmax(row max) → psum(Σ exp) → psum(label logit) → psum(Σ softmax·logits)
+
+Differences by design:
+* runs inside `shard_map`; `jax.grad` through `psum`/`pmax` regenerates the
+  reference's hand-written in-place backward (vocab_parallel.py:168-192,
+  323-370) — with chunking + `jax.checkpoint`, logits are *recomputed* in the
+  backward instead of saved, so peak memory is O(chunk·V/tp), strictly better
+  than the reference's saved-softmax scheme;
+* fused with the LM-head matmul (hidden @ W_shard), the full [n, V] logits
+  never exist anywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from dynamictreeattn_tpu.parallel.collectives import const_pmax, mpar_out
+
+__all__ = ["vp_position_stats", "vp_label_logits", "vp_tree_loss_from_hidden"]
+
+
+def _vp_chunk_stats(h_chunk, w_local, inv_temp, axis):
+    logits = (
+        jnp.dot(h_chunk, w_local, preferred_element_type=jnp.float32) * inv_temp
+    )  # [C, V/tp] fp32
+    m = const_pmax(jnp.max(logits, axis=-1), axis)  # [C]
+    ex = jnp.exp(logits - m[:, None])
+    se = mpar_out(jnp.sum(ex, axis=-1), axis)  # [C]
+    lse = m + jnp.log(se)
+    sx = mpar_out(jnp.sum(ex * logits, axis=-1), axis)  # [C] Σ exp·x
+    entropy = lse - sx / se
+    return lse, entropy
+
+
+def vp_position_stats(hidden, w_local, temperature, chunk_size, axis="model"):
+    """(lse [n], entropy [n]) with logits sharded on `axis`, chunked + remat."""
+    n, d = hidden.shape
+    inv_temp = 1.0 / temperature
+    c = chunk_size
+    while n % c:
+        c -= 1
+    chunks = hidden.reshape(n // c, c, d)
+    fn = jax.checkpoint(
+        functools.partial(_vp_chunk_stats, w_local=w_local, inv_temp=inv_temp, axis=axis)
+    )
+    lse, entropy = jax.lax.map(fn, chunks)
+    return lse.reshape(n), entropy.reshape(n)
+
+
+def vp_label_logits(h_at_parent, tokens, w_local, temperature, axis="model"):
+    """label_logit[j] = <h[parent[j]], W[:, token[j]]>/T with W vocab-sharded.
+
+    Masked local gather + psum — the reference's mask-and-gather all_reduce
+    (reference: vocab_parallel.py:145-156)."""
+    v_local = w_local.shape[1]
+    rank = jax.lax.axis_index(axis)
+    off = rank * v_local
+    in_range = (tokens >= off) & (tokens < off + v_local)
+    local_tok = jnp.clip(tokens - off, 0, v_local - 1)
+    w_cols = jnp.take(w_local.T, local_tok, axis=0)  # [n, d]
+    ll = jnp.sum(
+        h_at_parent.astype(jnp.float32) * w_cols.astype(jnp.float32), axis=-1
+    ) / temperature
+    return mpar_out(jnp.where(in_range, ll, 0.0), axis)
+
+
+def vp_tree_loss_from_hidden(
+    hidden,
+    w_local,
+    tokens,
+    parent,
+    w_logprob,
+    w_entropy,
+    temperature: float = 1.0,
+    chunk_size: int = 1024,
+    axis: str = "model",
+):
+    """Sharded-LM-head version of ops.losses.tree_loss_from_hidden.
+
+    Returns (loss, aux); loss is identical on every `axis` rank."""
+    lse, entropy = vp_position_stats(hidden, w_local, temperature, chunk_size, axis)
+    par = jnp.maximum(parent, 0)
+    h_par = jnp.take(hidden, par, axis=0)
+    label_logit = vp_label_logits(h_par, tokens, w_local, temperature, axis)
+    lp_edge = label_logit - jnp.take(lse, par)
+    lp_edge = jnp.where(parent >= 0, lp_edge, 0.0)
+    sum_lp = jnp.sum(w_logprob * lp_edge)
+    sum_ent = jnp.sum(w_entropy * entropy)
+    loss = sum_lp + sum_ent
+    return loss, {"sum_logprob": sum_lp, "sum_entropy": sum_ent}

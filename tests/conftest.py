@@ -6,7 +6,9 @@ before jax initializes, hence here at conftest import time.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the session env pre-sets JAX_PLATFORMS=axon (the tunneled
+# TPU); tests must run on local CPU with fake devices.
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
@@ -25,3 +27,6 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 import jax  # noqa: E402
 
 jax.config.update("jax_default_matmul_precision", "highest")
+# The axon sitecustomize force-registers the tunneled TPU regardless of
+# JAX_PLATFORMS; the config knob wins. Tests must run on local CPU.
+jax.config.update("jax_platforms", "cpu")

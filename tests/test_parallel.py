@@ -1,0 +1,136 @@
+"""Multi-device tests on the fake 8-device CPU mesh (SURVEY.md §4: the
+reference never had multi-device tests; these validate DP+TP end to end)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamictreeattn_tpu.engine import EngineConfig, TreeEngine
+from dynamictreeattn_tpu.models import Qwen3Config, init_params
+from dynamictreeattn_tpu.parallel import (
+    LB_by_DFS_and_TM,
+    LB_by_n_tokens,
+    LB_by_TM,
+    TreeTimeModel,
+    eval_bins,
+    make_mesh,
+    make_train_step,
+    shard_params,
+    stack_batches,
+)
+from dynamictreeattn_tpu.tries import TokenTrie, trie_stats
+from dynamictreeattn_tpu.utils import compare_grads
+
+from helpers import random_trie_batch
+
+TINY = Qwen3Config(
+    vocab_size=128,
+    hidden_size=64,
+    intermediate_size=96,
+    num_hidden_layers=2,
+    num_attention_heads=4,
+    num_key_value_heads=2,
+    head_dim=16,
+    tie_word_embeddings=True,
+)
+
+ECFG = EngineConfig(
+    block_q=32, block_kv=32, remat=False, attn_backend="reference", loss_chunk=32
+)
+
+
+def _tries(dp, seed=0):
+    rng = np.random.default_rng(seed)
+    tries, all_seqs = [], []
+    for r in range(dp):
+        seqs, attachs = random_trie_batch(rng, n_seqs=6, vocab=TINY.vocab_size, max_len=20)
+        tries.append(TokenTrie(seqs, attachs))
+        all_seqs.append((seqs, attachs))
+    return tries, all_seqs
+
+
+@pytest.mark.parametrize("dp,tp", [(2, 1), (1, 2), (2, 2), (4, 2)])
+def test_sharded_step_matches_single_device(dp, tp):
+    tries, all_seqs = _tries(dp)
+    mesh = make_mesh(dp=dp, tp=tp)
+    params = init_params(TINY, jax.random.key(0), dtype=jnp.float32)
+    sharded = shard_params(params, mesh, TINY)
+    step = make_train_step(TINY, mesh, ECFG)
+    batch = stack_batches(tries, ECFG)
+    loss, grads, aux = step(sharded, batch.arrays)
+
+    # single-device oracle: sum over per-rank tries
+    engine = TreeEngine(TINY, ECFG)
+    total_loss = 0.0
+    total_grads = None
+    for t in tries:
+        l, g, _ = engine.loss_and_grad(params, engine.prepare(t))
+        total_loss += float(l)
+        total_grads = g if total_grads is None else jax.tree.map(jnp.add, total_grads, g)
+
+    np.testing.assert_allclose(float(loss), total_loss, rtol=1e-4)
+    rows = compare_grads(total_grads, jax.device_get(grads))
+    assert rows[0][1] < 1e-3, rows[0]
+
+
+def test_optimizer_step_runs_sharded():
+    import optax
+
+    dp, tp = 2, 2
+    tries, _ = _tries(dp, seed=3)
+    mesh = make_mesh(dp=dp, tp=tp)
+    params = init_params(TINY, jax.random.key(1), dtype=jnp.float32)
+    sharded = shard_params(params, mesh, TINY)
+    opt = optax.adamw(1e-3)
+    opt_state = jax.jit(opt.init)(sharded)
+    step = make_train_step(TINY, mesh, ECFG, optimizer=opt)
+    batch = stack_batches(tries, ECFG)
+    p1, opt_state, loss1, _ = step(sharded, opt_state, batch.arrays)
+    p2, opt_state, loss2, _ = step(p1, opt_state, batch.arrays)
+    assert float(loss2) < float(loss1)  # loss decreases on same batch
+
+
+def test_time_model_nnls_recovers_linear_cost():
+    rng = np.random.default_rng(0)
+    tm = TreeTimeModel(min_points=16)
+    true_c = np.array([5.0, 0.1, 0.0, 0.02, 0.001])
+    recs = []
+    for _ in range(64):
+        seqs, _ = random_trie_batch(rng, n_seqs=8, max_len=30)
+        t = TokenTrie(seqs, [{} for _ in seqs])
+        s = trie_stats(t.lens, t.lcp_lens, mode="backward", block_size=16)
+        feats = np.array([
+            s["n_leaf_sequences"], s["n_tree_tokens"], s["n_f1_tokens"],
+            s["sum_prefix_len"], s["sum_depth"],
+        ], dtype=float)
+        recs.append(dict(s, time=float(true_c @ feats)))
+    tm.add_data(recs)
+    assert tm.avg_rel_error() < 1e-6
+    s = recs[0]
+    np.testing.assert_allclose(tm.pred(s), s["time"], rtol=1e-6)
+
+
+@pytest.mark.parametrize("K", [2, 4])
+def test_load_balancers_partition_and_balance(K):
+    rng = np.random.default_rng(1)
+    seqs, _ = random_trie_batch(rng, n_seqs=24, max_len=40)
+    tm = TreeTimeModel()  # cold-start: pred = n_tree_tokens
+
+    for lb in (
+        lambda: LB_by_n_tokens(seqs, K),
+        lambda: LB_by_TM(seqs, tm, K, block_size=16),
+        lambda: LB_by_DFS_and_TM(seqs, tm, K, block_size=16),
+    ):
+        bins = lb()
+        assert len(bins) == K
+        got = sorted(i for b in bins for i in b)
+        assert got == list(range(len(seqs)))  # exact partition
+
+    # TM-driven binning should not be (much) worse than token-count binning
+    # under the cost model it optimizes.
+    e_tok = eval_bins(seqs, LB_by_n_tokens(seqs, K), tm, block_size=16)
+    e_tm = eval_bins(seqs, LB_by_TM(seqs, tm, K, block_size=16), tm, block_size=16)
+    e_dfs = eval_bins(seqs, LB_by_DFS_and_TM(seqs, tm, K, block_size=16), tm, block_size=16)
+    assert e_tm["makespan"] <= e_tok["makespan"] * 1.3
+    assert e_dfs["makespan"] <= e_tok["makespan"] * 1.5
