@@ -1,0 +1,92 @@
+"""Headline benchmark: Qwen3-0.6B tree-training throughput vs dense replay.
+
+Runs on the real TPU chip. Workload: tau2-16k-like synthetic rollout tries
+(the reference's benchmark regime: 16k-token tool-call tries, Qwen3, bf16 —
+reference: exp/exp_tree.py, run_all.py). Both engines are the SAME fused
+code path; "dense" is the unmerged forest-of-chains packing (per-sequence
+replay semantics, reference: dense.py).
+
+Metric: dense-equivalent trained tokens/sec/chip of the tree engine
+(total dense tokens the batch represents / tree step time).
+vs_baseline: speedup over the dense-replay baseline measured in the same run
+on the same chip (BASELINE.md target: ≥3x at ≥60% prefix sharing).
+
+Prints ONE JSON line at the end.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamictreeattn_tpu.data import sharing_ratio, synthetic_rollout_batch
+from dynamictreeattn_tpu.engine import EngineConfig, TreeEngine, pack_sequences_dense
+from dynamictreeattn_tpu.models import MODEL_CONFIGS, init_params
+from dynamictreeattn_tpu.tries import TokenTrie
+
+
+def timed_step(fn, *args, iters=5):
+    out = fn(*args)
+    float(out[0])  # compile + sync (loss scalar roundtrip syncs the program)
+    ts = []
+    for _ in range(iters):
+        t0 = time.time()
+        out = fn(*args)
+        float(out[0])
+        ts.append(time.time() - t0)
+    return out, float(np.median(ts))
+
+
+def main():
+    mc = MODEL_CONFIGS["qwen3-0.6b"]
+    ec = EngineConfig(block_q=256, block_kv=256, remat=True, attn_backend="pallas")
+
+    # tau2-16k-like: long shared tool-call prompts, heavy branching
+    seqs, attachs = synthetic_rollout_batch(
+        seed=0, n_prompts=2, samples_per_prompt=16,
+        prompt_len=(1024, 2048), completion_len=(128, 512),
+        branch_prob=0.85,
+    )
+    n_dense = sum(len(s) for s in seqs)
+    share = sharing_ratio(seqs)
+
+    engine = TreeEngine(mc, ec)
+    tree_batch = engine.prepare(TokenTrie(seqs, attachs))
+    dense_batch = engine.prepare(
+        pack_sequences_dense(seqs, attachs, pad_multiple=ec.pad_multiple)
+    )
+    params = init_params(mc, jax.random.key(0), dtype=jnp.bfloat16)
+
+    (loss_t, _, _), dt_tree = timed_step(engine.loss_and_grad, params, tree_batch)
+    (loss_d, _, _), dt_dense = timed_step(engine.loss_and_grad, params, dense_batch)
+
+    loss_rel = abs(float(loss_t) - float(loss_d)) / max(1e-9, abs(float(loss_d)))
+    assert loss_rel < 1e-3, f"tree/dense loss diverged: {loss_rel}"
+
+    tree_tps = n_dense / dt_tree
+    dense_tps = n_dense / dt_dense
+    print(
+        f"# {len(seqs)} seqs, {n_dense} dense tokens, sharing={share:.3f}, "
+        f"tree packed {tree_batch.packed.n_tokens}->{tree_batch.n_padded}, "
+        f"tree {dt_tree*1e3:.0f}ms dense {dt_dense*1e3:.0f}ms, "
+        f"loss_rel={loss_rel:.2e}",
+        file=sys.stderr,
+    )
+    print(json.dumps({
+        "metric": "qwen3-0.6b_tree_train_dense_equiv_tokens_per_s_per_chip",
+        "value": round(tree_tps, 1),
+        "unit": "tokens/s",
+        "vs_baseline": round(tree_tps / dense_tps, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
