@@ -62,6 +62,12 @@ class Qwen3Config:
 # Published Qwen3 dense family configs (the reference's sweep models,
 # reference: exp/exp_tree.py:4-9 + the 0.6B parity model, run.py:246-250).
 MODEL_CONFIGS: dict[str, Qwen3Config] = {
+    # tiny config for CPU tests / CLI smoke runs (not a published model)
+    "qwen3-tiny": Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, tie_word_embeddings=True,
+    ),
     "qwen3-0.6b": Qwen3Config(
         hidden_size=1024, intermediate_size=3072, num_hidden_layers=28,
         num_attention_heads=16, num_key_value_heads=8, tie_word_embeddings=True,

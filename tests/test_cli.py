@@ -1,0 +1,106 @@
+"""End-to-end CLI smoke tests (CPU, tiny model) — the harness surface the
+reference exposes (run.py / run_all.py / data_parallel.py / compare_grads /
+remark / calc_time)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from dynamictreeattn_tpu.data.io import save_sequences
+
+from helpers import random_trie_batch
+
+COMMON = [
+    "--model", "qwen3-tiny", "--dtype", "fp32", "--attn-backend", "reference",
+    "--block-q", "32", "--block-kv", "32", "--loss-chunk", "32", "--no-remat",
+    "--iters", "1",
+]
+
+
+def _write_data(tmp_path, n_files=2, fmt=".npz"):
+    rng = np.random.default_rng(0)
+    files = []
+    for i in range(n_files):
+        seqs, _ = random_trie_batch(rng, n_seqs=6, vocab=128, max_len=20)
+        f = tmp_path / f"call{i}{fmt}"
+        save_sequences(str(f), seqs)
+        files.append(f)
+    return files
+
+
+def test_run_grad_parity_via_cli(tmp_path, capsys):
+    from dynamictreeattn_tpu.cli import compare_grads, run
+
+    [f0, _] = _write_data(tmp_path)
+    g_tree = tmp_path / "tree.npz"
+    g_dense = tmp_path / "dense.npz"
+    stats = tmp_path / "stats.jsonl"
+    run.main(COMMON + ["--data", str(f0), "--run", "tree_backward",
+                       "--grad-out", str(g_tree), "--stats-out", str(stats)])
+    run.main(COMMON + ["--data", str(f0), "--run", "dense_backward",
+                       "--grad-out", str(g_dense), "--stats-out", str(stats)])
+    out = [json.loads(line) for line in capsys.readouterr().out.splitlines()
+           if line.startswith("{")]
+    losses = [r["loss"] for r in out if "loss" in r]
+    np.testing.assert_allclose(losses[0], losses[1], rtol=1e-4)
+
+    table = tmp_path / "table.txt"
+    compare_grads.main(["--baseline-grad", str(g_dense),
+                        "--exp-grad", str(g_tree), "--out", str(table)])
+    tail = table.read_text().strip().splitlines()[-1]
+    max_rel = float(tail.split("max")[1].split()[0])
+    assert max_rel < 1e-3, tail
+    # stats JSONL got both records
+    recs = [json.loads(line) for line in stats.read_text().splitlines()]
+    assert len(recs) == 2 and all("time" in r for r in recs)
+
+
+def test_run_forward_and_synthetic(tmp_path, capsys):
+    from dynamictreeattn_tpu.cli import run
+
+    run.main(COMMON + ["--data", "synthetic:n_prompts=1,samples=3,prompt_lo=8,prompt_hi=12,completion_lo=4,completion_hi=8",
+                       "--run", "tree_forward"])
+    rec = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert rec["tokens_per_s"] > 0
+    assert "sum_logprobs" in rec
+
+
+def test_run_all_and_dp_pipeline(tmp_path, capsys):
+    from dynamictreeattn_tpu.cli import calc_time, data_parallel, remark, run_all
+
+    _write_data(tmp_path, n_files=2)
+    stats = tmp_path / "stats.jsonl"
+    run_all.main(COMMON + ["--data-dir", str(tmp_path), "--glob", "*.npz",
+                           "--run", "tree_backward", "--stats-out", str(stats)])
+    out = capsys.readouterr().out.splitlines()
+    agg = json.loads(out[-1])
+    assert agg["aggregate"] and agg["tokens_per_s"] > 0
+
+    # remark: recompute features
+    remarked = tmp_path / "stats.re.jsonl"
+    remark.main(["--stats", str(stats), "--data-dir", str(tmp_path),
+                 "--out", str(remarked)])
+    recs = [json.loads(line) for line in remarked.read_text().splitlines()]
+    assert all("sum_depth" in r for r in recs)
+
+    # binning with a model fitted from the stats
+    bins_dir = tmp_path / "bins"
+    data_parallel.main(["--data-dir", str(tmp_path), "--glob", "*.npz",
+                        "--K", "2", "--method", "LB_by_DFS_and_TM",
+                        "--block-size", "32",
+                        "--out-dir", str(bins_dir), "--eval"])
+    binned = sorted(bins_dir.glob("*.npz"))
+    assert len(binned) == 4  # 2 files x 2 bins
+
+    # run bins + calc_time aggregation
+    bin_stats = tmp_path / "bin_stats.jsonl"
+    run_all.main(COMMON + ["--data-dir", str(bins_dir), "--glob", "*.npz",
+                           "--run", "tree_backward", "--stats-out", str(bin_stats)])
+    capsys.readouterr()
+    calc_time.main(["--stats", str(bin_stats)])
+    out = capsys.readouterr().out.splitlines()
+    agg = json.loads(out[-1])
+    assert agg["aggregate"] and agg["total_tokens"] > 0
+    groups = [json.loads(line) for line in out[:-1]]
+    assert all(g["bins"] == 2 for g in groups)
