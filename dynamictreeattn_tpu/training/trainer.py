@@ -1,0 +1,185 @@
+"""Trainer: sharded RL-style trie training with cost-model-balanced packing.
+
+Closes the loop the reference runs offline across processes (stats JSONL →
+remark → TreeTimeModel → data_parallel binning → per-GPU run, reference:
+exp/exp_dp_TM.py): every step, the incoming rollout batch is partitioned into
+per-data-rank tries by the live TreeTimeModel, trained in one sharded step,
+and the measured step time feeds the model back.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Callable, Iterable
+
+import jax
+import numpy as np
+
+from dynamictreeattn_tpu.engine import EngineConfig
+from dynamictreeattn_tpu.models.qwen3 import Qwen3Config, init_params
+from dynamictreeattn_tpu.parallel import (
+    LB_by_DFS_and_TM,
+    LB_by_n_tokens,
+    TreeTimeModel,
+    make_mesh,
+    make_train_step,
+    shard_params,
+    stack_batches,
+)
+from dynamictreeattn_tpu.tries import TokenTrie, trie_stats
+
+__all__ = ["TrainConfig", "Trainer"]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    dp: int = 1
+    tp: int = 1
+    learning_rate: float = 1e-5
+    weight_decay: float = 0.0
+    grad_clip: float = 1.0
+    param_dtype: str = "bf16"
+    lb_method: str = "LB_by_DFS_and_TM"  # or "LB_by_n_tokens"
+    lb_block_size: int = 2048
+    ckpt_dir: str | None = None
+    ckpt_every: int = 0  # 0 = only on demand
+    log_every: int = 1
+
+
+class Trainer:
+    def __init__(
+        self,
+        model_config: Qwen3Config,
+        engine_config: EngineConfig = EngineConfig(),
+        train_config: TrainConfig = TrainConfig(),
+        mesh=None,
+    ):
+        import optax
+
+        self.mc = model_config
+        self.ec = engine_config
+        self.tc = train_config
+        self.mesh = mesh or make_mesh(dp=train_config.dp, tp=train_config.tp)
+        self.time_model = TreeTimeModel()
+        self.step_idx = 0
+        self.history: list[dict] = []
+
+        tx = []
+        if train_config.grad_clip:
+            tx.append(optax.clip_by_global_norm(train_config.grad_clip))
+        tx.append(
+            optax.adamw(
+                train_config.learning_rate, weight_decay=train_config.weight_decay
+            )
+        )
+        self.optimizer = optax.chain(*tx)
+        self._step_fn = make_train_step(
+            self.mc, self.mesh, self.ec, optimizer=self.optimizer
+        )
+        self.params = None
+        self.opt_state = None
+        self._ckpt = None
+        if train_config.ckpt_dir:
+            from dynamictreeattn_tpu.training.checkpoint import CheckpointManager
+
+            self._ckpt = CheckpointManager(train_config.ckpt_dir)
+
+    # ------------------------------------------------------------------ state
+    def init(self, seed: int = 0) -> None:
+        import jax.numpy as jnp
+
+        dtype = jnp.bfloat16 if self.tc.param_dtype == "bf16" else jnp.float32
+        params = init_params(self.mc, jax.random.key(seed), dtype=dtype)
+        self.params = shard_params(params, self.mesh, self.mc)
+        self.opt_state = jax.jit(self.optimizer.init)(self.params)
+
+    def set_params(self, params) -> None:
+        self.params = shard_params(params, self.mesh, self.mc)
+        self.opt_state = jax.jit(self.optimizer.init)(self.params)
+
+    def save(self, extra: dict | None = None) -> None:
+        assert self._ckpt, "no ckpt_dir configured"
+        self._ckpt.save(
+            self.step_idx, jax.device_get(self.params),
+            jax.device_get(self.opt_state),
+            extra={"step": self.step_idx, **(extra or {})},
+        )
+
+    def restore(self, step: int | None = None) -> None:
+        assert self._ckpt, "no ckpt_dir configured"
+        out = self._ckpt.restore(step)
+        self.set_params(out["params"])
+        if out.get("opt_state") is not None:
+            # re-shard restored opt state to match the freshly-inited layout
+            restored = out["opt_state"]
+            self.opt_state = jax.tree.map(
+                lambda like, val: jax.device_put(val, like.sharding),
+                self.opt_state, restored,
+            )
+        extra = out.get("extra") or {}
+        self.step_idx = int(extra.get("step", step or 0))
+
+    # ------------------------------------------------------------------ steps
+    def partition(self, seqs, attachs) -> list[TokenTrie]:
+        """Split one rollout batch into dp per-device tries."""
+        dp = self.mesh.shape["data"]
+        if dp == 1:
+            bins = [list(range(len(seqs)))]
+        elif self.tc.lb_method == "LB_by_n_tokens":
+            bins = LB_by_n_tokens(seqs, dp)
+        else:
+            bins = LB_by_DFS_and_TM(
+                seqs, self.time_model, dp, block_size=self.tc.lb_block_size
+            )
+        tries = []
+        for ids in bins:
+            ids = ids or [int(np.argmin([len(s) for s in seqs]))]  # never empty
+            tries.append(
+                TokenTrie([seqs[i] for i in ids], [attachs[i] for i in ids])
+            )
+        return tries
+
+    def train_step(self, seqs, attachs) -> dict:
+        assert self.params is not None, "call init()/restore() first"
+        tries = self.partition(seqs, attachs)
+        batch = stack_batches(tries, self.ec)
+        t0 = time.time()
+        self.params, self.opt_state, loss, aux = self._step_fn(
+            self.params, self.opt_state, batch.arrays
+        )
+        loss = float(loss)  # host sync
+        dt = time.time() - t0
+        self.step_idx += 1
+
+        # feed the cost model: with dp=1 the attribution is exact; with dp>1
+        # the step time is attributed to the largest bin (the makespan bin)
+        feats = [
+            trie_stats(t.lens, t.lcp_lens, mode="backward",
+                       block_size=self.tc.lb_block_size)
+            for t in tries
+        ]
+        biggest = max(feats, key=lambda s: s["n_tree_tokens"])
+        self.time_model.add_data(dict(biggest, time=dt))
+
+        rec = {
+            "step": self.step_idx,
+            "loss": loss,
+            "time": dt,
+            "n_sequences": len(seqs),
+            "n_tokens": int(sum(len(s) for s in seqs)),
+            "n_tree_tokens": int(sum(f["n_tree_tokens"] for f in feats)),
+            "sum_logprob": float(aux["sum_logprob"]),
+            "sum_entropy": float(aux["sum_entropy"]),
+        }
+        self.history.append(rec)
+        if self._ckpt and self.tc.ckpt_every and self.step_idx % self.tc.ckpt_every == 0:
+            self.save()
+        return rec
+
+    def fit(self, batches: Iterable, log_fn: Callable[[dict], None] = None) -> list[dict]:
+        for seqs, attachs in batches:
+            rec = self.train_step(seqs, attachs)
+            if log_fn and self.step_idx % self.tc.log_every == 0:
+                log_fn(rec)
+        return self.history
