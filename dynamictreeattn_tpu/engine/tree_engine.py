@@ -49,6 +49,7 @@ class EngineConfig:
     block_q: int = 256
     block_kv: int = 256
     remat: bool = True
+    remat_policy: str | None = None  # None (full recompute) | "dots"
     temperature: float = 1.0
     loss_chunk: int = 1024
     attn_backend: str = "pallas"  # "pallas" | "reference"
@@ -159,6 +160,7 @@ class TreeEngine:
             depth,
             self._attn_fn(last_desc, meta),
             remat=self.cfg.remat,
+            remat_policy=self.cfg.remat_policy,
         )
 
     def _logprobs(self, params, tokens, depth, parent, last_desc, meta):

@@ -208,6 +208,7 @@ def forward_hidden(
     positions: jnp.ndarray,  # [n] int32 (trie depths / sequence positions)
     attn_fn: AttnFn,
     remat: bool = False,
+    remat_policy: str | None = None,
 ) -> jnp.ndarray:
     """Returns final-norm'd hidden states [n, d] (LM head applied separately
     so losses can fuse it — ops/losses.py)."""
@@ -221,9 +222,21 @@ def forward_hidden(
         return body(carry, lp, cos, sin), None
 
     if remat:
-        scan_fn = jax.checkpoint(scan_fn, prevent_cse=False)
+        scan_fn = jax.checkpoint(
+            scan_fn, prevent_cse=False, policy=_remat_policy(remat_policy)
+        )
     x, _ = jax.lax.scan(scan_fn, x, params["layers"])
     return rms_norm(x, params["final_norm"], c.rms_norm_eps)
+
+
+def _remat_policy(name: str | None):
+    """None: full recompute (min memory). "dots": save matmul outputs so the
+    backward skips re-running the FLOP-heavy ops (speed/memory tradeoff)."""
+    if name is None:
+        return None
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"unknown remat policy {name!r}")
 
 
 def logits_from_hidden(params, config, hidden: jnp.ndarray) -> jnp.ndarray:

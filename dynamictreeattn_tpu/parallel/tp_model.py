@@ -90,6 +90,7 @@ def forward_hidden_tp(
     tp: int,
     axis: str = "model",
     remat: bool = False,
+    remat_policy: str | None = None,
 ) -> jnp.ndarray:
     """Like models.qwen3.forward_hidden but on tp-sharded local params.
 
@@ -105,7 +106,11 @@ def forward_hidden_tp(
         return body(carry, lp, cos, sin), None
 
     if remat:
-        scan_fn = jax.checkpoint(scan_fn, prevent_cse=False)
+        from dynamictreeattn_tpu.models.qwen3 import _remat_policy
+
+        scan_fn = jax.checkpoint(
+            scan_fn, prevent_cse=False, policy=_remat_policy(remat_policy)
+        )
     x, _ = jax.lax.scan(scan_fn, x, params_local["layers"])
     # final mpar_in: the vocab-parallel loss produces per-rank partial hidden
     # cotangents (its vocab shard only)

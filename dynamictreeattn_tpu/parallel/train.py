@@ -163,7 +163,8 @@ def make_train_step(
 
         def loss_fn(p):
             h = forward_hidden_tp(
-                p, mc, tokens, depth, attn_fn, tp=tp, remat=ec.remat
+                p, mc, tokens, depth, attn_fn, tp=tp, remat=ec.remat,
+                remat_policy=ec.remat_policy,
             )
             w_local = p["embed"].T if mc.tie_word_embeddings else p["lm_head"]
             return vp_tree_loss_from_hidden(

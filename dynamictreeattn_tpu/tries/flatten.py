@@ -113,16 +113,27 @@ def flatten_trie(
     `pad_to` pads the packed length (padding tokens are isolated roots with
     zero loss weight — they attend only to themselves, so they never NaN and
     never contribute).
+
+    The per-token passes run in native code when the treekit C++ library is
+    available (tries/_native.py); the numpy path is the fallback and oracle.
     """
+    from dynamictreeattn_tpu.tries import _native
+
+    use_native = _native.native_enabled()
     lens = trie.lens
     lcps = np.concatenate([[0], trie.lcp_lens]) if trie.n_leaves > 1 else np.array([0])
     n = int(lens.sum() - lcps[1:].sum()) if trie.n_leaves > 1 else int(lens[0])
 
-    tokens = np.zeros(n, dtype=np.int32)
-    depth = np.zeros(n, dtype=np.int32)
-    parent = np.full(n, -1, dtype=np.int32)
+    if use_native:
+        tokens, depth, parent, last_desc = _native.flatten_core(
+            trie.inputs, np.asarray(trie.lcp_lens, np.int64)
+        )
+    else:
+        tokens = np.zeros(n, dtype=np.int32)
+        depth = np.zeros(n, dtype=np.int32)
+        parent = np.full(n, -1, dtype=np.int32)
 
-    # endpoint accumulation buffers
+    # endpoint pass: per-leaf stack bookkeeping (numpy-sliced, O(n) total)
     acc_lp = np.zeros(n, dtype=np.float64)
     acc_ent = np.zeros(n, dtype=np.float64)
     seq_batch_ids: list[int] = []
@@ -137,14 +148,15 @@ def flatten_trie(
         new = len(seq) - start
         if new > 0:
             sl = slice(cursor, cursor + new)
-            tokens[sl] = seq[start:]
-            depth[sl] = np.arange(start, len(seq), dtype=np.int32)
-            parent[sl] = np.concatenate(
-                [
-                    [stack_pos[start - 1] if start > 0 else -1],
-                    np.arange(cursor, cursor + new - 1, dtype=np.int64),
-                ]
-            )
+            if not use_native:
+                tokens[sl] = seq[start:]
+                depth[sl] = np.arange(start, len(seq), dtype=np.int32)
+                parent[sl] = np.concatenate(
+                    [
+                        [stack_pos[start - 1] if start > 0 else -1],
+                        np.arange(cursor, cursor + new - 1, dtype=np.int64),
+                    ]
+                )
             stack_pos[start : len(seq)] = np.arange(cursor, cursor + new)
             cursor += new
         for attachment, length in trie.attach_lists[i]:
@@ -158,23 +170,27 @@ def flatten_trie(
             seq_lens.append(length)
     assert cursor == n
 
-    # last_desc via monotone depth stack (DFS layout property).
-    last_desc = np.empty(n, dtype=np.int32)
-    dstack: list[int] = []
-    for j in range(n):
-        while dstack and depth[dstack[-1]] >= depth[j]:
-            last_desc[dstack.pop()] = j - 1
-        dstack.append(j)
-    for j in dstack:
-        last_desc[j] = n - 1
+    if not use_native:
+        # last_desc via monotone depth stack (DFS layout property).
+        last_desc = np.empty(n, dtype=np.int32)
+        dstack: list[int] = []
+        for j in range(n):
+            while dstack and depth[dstack[-1]] >= depth[j]:
+                last_desc[dstack.pop()] = j - 1
+            dstack.append(j)
+        for j in dstack:
+            last_desc[j] = n - 1
 
     # Propagate endpoint weights up the parent chain (children precede nothing —
     # DFS order means parent[j] < j, so a single reverse sweep suffices).
-    for j in range(n - 1, -1, -1):
-        p = parent[j]
-        if p >= 0:
-            acc_lp[p] += acc_lp[j]
-            acc_ent[p] += acc_ent[j]
+    if use_native:
+        _native.accumulate_up(parent, acc_lp, acc_ent)
+    else:
+        for j in range(n - 1, -1, -1):
+            p = parent[j]
+            if p >= 0:
+                acc_lp[p] += acc_lp[j]
+                acc_ent[p] += acc_ent[j]
     w_logprob = acc_lp.astype(np.float32)
     w_logprob[depth == 0] = 0.0  # roots have no incoming edge
     w_entropy = acc_ent.astype(np.float32)
@@ -311,6 +327,19 @@ def build_block_meta(
     n = len(last_desc)
     if n % block_q or n % block_kv:
         raise ValueError("padded length must divide both block sizes")
+    from dynamictreeattn_tpu.tries import _native
+
+    if _native.native_enabled():
+        kv_ids, kv_counts, kv_types, q_ids, q_counts, q_types = (
+            _native.block_meta_core(
+                np.asarray(last_desc), block_q, block_kv, min_kv_slots, min_q_slots
+            )
+        )
+        return BlockMeta(
+            block_q=block_q, block_kv=block_kv,
+            kv_ids=kv_ids, kv_counts=kv_counts, kv_types=kv_types,
+            q_ids=q_ids, q_counts=q_counts, q_types=q_types,
+        )
     nq, nk = n // block_q, n // block_kv
     ld = np.asarray(last_desc, dtype=np.int64).reshape(nk, block_kv)
     ld_max = ld.max(axis=1)  # [nk]

@@ -1,0 +1,57 @@
+"""A/B test engine knobs on the real chip: remat policy, loss chunk, blocks."""
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dynamictreeattn_tpu.data import synthetic_rollout_batch
+from dynamictreeattn_tpu.engine import EngineConfig, TreeEngine
+from dynamictreeattn_tpu.models import MODEL_CONFIGS, init_params
+from dynamictreeattn_tpu.tries import TokenTrie
+
+mc = MODEL_CONFIGS["qwen3-0.6b"]
+seqs, attachs = synthetic_rollout_batch(
+    seed=0, n_prompts=2, samples_per_prompt=16,
+    prompt_len=(1024, 2048), completion_len=(128, 512), branch_prob=0.85,
+)
+n_dense = sum(len(s) for s in seqs)
+params = init_params(mc, jax.random.key(0), dtype=jnp.bfloat16)
+
+
+def bench(tag, ec):
+    engine = TreeEngine(mc, ec)
+    batch = engine.prepare(TokenTrie(seqs, attachs))
+    t0 = time.time()
+    out = engine.loss_and_grad(params, batch)
+    float(out[0])
+    compile_t = time.time() - t0
+    ts = []
+    for _ in range(4):
+        t0 = time.time()
+        out = engine.loss_and_grad(params, batch)
+        float(out[0])
+        ts.append(time.time() - t0)
+    dt = float(np.median(ts))
+    print(f"{tag:44s} {dt*1e3:8.1f}ms  ({n_dense/dt:,.0f} tok/s)  "
+          f"[compile {compile_t:.0f}s, n_pad {batch.n_padded}]", flush=True)
+
+
+cases = sys.argv[1:] or ["base", "remat_dots", "no_remat", "chunk4096", "bkv512"]
+for case in cases:
+    if case == "base":
+        bench("base (remat, chunk1024, 256/256)", EngineConfig())
+    elif case == "remat_dots":
+        bench("remat policy=dots", EngineConfig(remat_policy="dots"))
+    elif case == "no_remat":
+        bench("no remat", EngineConfig(remat=False))
+    elif case == "chunk4096":
+        bench("loss_chunk=4096", EngineConfig(loss_chunk=4096))
+    elif case == "bkv512":
+        bench("block_kv=512", EngineConfig(block_kv=512))
+    elif case == "bq512":
+        bench("block_q=512", EngineConfig(block_q=512))
