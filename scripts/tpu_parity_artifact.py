@@ -34,16 +34,22 @@ loss_d, grads_d, _ = engine.loss_and_grad(params, dense_batch)
 
 @jax.jit
 def norms(gt, gd):
+    L = mc.num_hidden_layers
+
     def per_leaf(a, b):
         a = a.astype(jnp.float32)
         b = b.astype(jnp.float32)
-        axes = tuple(range(1, a.ndim)) if a.ndim > 1 else ()
-        if axes:
+        # split per layer for stacked [L, ...] leaves; whole-tensor otherwise
+        if a.ndim >= 2 and a.shape[0] == L:
+            axes = tuple(range(1, a.ndim))
             return (
                 jnp.sqrt(jnp.sum((a - b) ** 2, axis=axes)),
                 jnp.sqrt(jnp.sum(b**2, axis=axes)),
             )
-        return (jnp.linalg.norm(a - b)[None], jnp.linalg.norm(b)[None])
+        return (
+            jnp.sqrt(jnp.sum((a - b) ** 2))[None],
+            jnp.sqrt(jnp.sum(b**2))[None],
+        )
 
     return jax.tree.map(per_leaf, gt, gd)
 
