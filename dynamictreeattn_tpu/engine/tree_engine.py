@@ -94,6 +94,7 @@ class TreeEngine:
         )
         self._loss_fn = jax.jit(self._loss)
         self._lp_fn = jax.jit(self._logprobs)
+        self._custom_cache: dict = {}
 
     # ----------------------------------------------------------- preparation
     def prepare(self, trie_or_packed) -> TrieBatch:
@@ -194,6 +195,56 @@ class TreeEngine:
             batch.w_logprob, batch.w_entropy, batch.meta,
         )
         return loss, grads, aux
+
+    # ------------------------------------------------- custom per-seq losses
+    def seq_gather_arrays(self, batch: TrieBatch):
+        """(paths [S, Lmax] int32 with -1 padding, lengths [S]) — each row is
+        a sequence's packed positions root→end, for gathering per-sequence
+        logprob/entropy vectors inside jit (the reference's pluggable
+        ``loss_fn(logprobs, entropy, attachment)`` contract,
+        reference: tree_training_engine.py:377-398)."""
+        packed = batch.packed
+        S = len(packed.seq_batch_ids)
+        lmax = int(packed.seq_lens.max()) if S else 0
+        paths = np.full((S, lmax), -1, dtype=np.int32)
+        for s in range(S):
+            p = packed.seq_path(s)
+            paths[s, : len(p)] = p
+        return jnp.asarray(paths), jnp.asarray(packed.seq_lens)
+
+    def loss_and_grad_custom(self, params, batch: TrieBatch, loss_fn, extras=None):
+        """Training step with an arbitrary per-sequence loss.
+
+        ``loss_fn(logprobs, entropy, extras_s, length) -> scalar`` is vmapped
+        over sequences: `logprobs` is the padded [Lmax-1] per-edge vector
+        (entries ≥ length-1 are garbage — mask by `length`), `entropy` the
+        padded [Lmax] entropy vector, `extras_s` the per-sequence slice of the
+        `extras` pytree (arrays with leading dim S, aligned with
+        batch.packed.seq_batch_ids order)."""
+        paths, lengths = self.seq_gather_arrays(batch)
+        if extras is None:
+            extras = {}
+
+        fn = self._custom_cache.get(id(loss_fn))
+        if fn is None:
+
+            def total_loss(params, tokens, depth, parent, last_desc, meta,
+                           paths, lengths, extras):
+                lp_edge, entropy = self._logprobs(
+                    params, tokens, depth, parent, last_desc, meta
+                )
+                safe = jnp.maximum(paths, 0)
+                lp_rows = jnp.take(lp_edge, safe[:, 1:], axis=0)  # [S, Lmax-1]
+                ent_rows = jnp.take(entropy, safe, axis=0)  # [S, Lmax]
+                per_seq = jax.vmap(loss_fn)(lp_rows, ent_rows, extras, lengths)
+                return jnp.sum(per_seq)
+
+            fn = jax.jit(jax.value_and_grad(total_loss))
+            self._custom_cache[id(loss_fn)] = fn
+        return fn(
+            params, batch.tokens, batch.depth, batch.parent, batch.last_desc,
+            batch.meta, paths, lengths, extras,
+        )
 
     def forward(self, params, batch: TrieBatch) -> dict[int, np.ndarray]:
         """Inference-mode per-sequence logprobs (reference:
