@@ -73,6 +73,11 @@ def main():
 
     tree_tps = n_dense / dt_tree
     dense_tps = n_dense / dt_dense
+    from dynamictreeattn_tpu.utils.profiling import device_memory_stats
+
+    mem = device_memory_stats()
+    if mem.get("peak_bytes_in_use"):
+        print(f"# peak HBM {mem['peak_bytes_in_use']/2**30:.2f} GiB", file=sys.stderr)
     print(
         f"# {len(seqs)} seqs, {n_dense} dense tokens, sharing={share:.3f}, "
         f"tree packed {tree_batch.packed.n_tokens}->{tree_batch.n_padded}, "

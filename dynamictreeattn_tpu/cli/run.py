@@ -123,6 +123,11 @@ def main(argv=None):
 
     record["time"] = dt
     record["tokens_per_s"] = n_dense / dt
+    from dynamictreeattn_tpu.utils.profiling import device_memory_stats
+
+    mem = device_memory_stats()
+    if mem.get("peak_bytes_in_use"):
+        record["peak_mem_gb"] = round(mem["peak_bytes_in_use"] / 2**30, 3)
     print(json.dumps(record))
     record["ts"] = time.time()
     append_stats(args.stats_out, record)
