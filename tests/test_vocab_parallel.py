@@ -67,24 +67,30 @@ def test_vp_loss_and_grads_match_local():
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(P(), P(None, "model")), out_specs=P(),
+        in_specs=(P(), P(None, "model")),
+        out_specs=(P(), P(), P(None, "model")),
         check_vma=False,
     )
     def sharded(hidden, w_local):
-        # contract: the vp loss produces per-rank PARTIAL hidden cotangents
-        # (its vocab shard only); callers place mpar_in on the hidden input,
-        # exactly as forward_hidden_tp does at its output
+        # Differentiate INSIDE shard_map, like the real train step (grads
+        # through the unchecked shard_map boundary use pmean-style cotangent
+        # conventions and are not what optimizers want). Contract: the vp
+        # loss produces per-rank PARTIAL hidden cotangents (its vocab shard
+        # only); mpar_in on the hidden restores the full gradient, exactly as
+        # forward_hidden_tp does at its output.
         from dynamictreeattn_tpu.parallel.collectives import mpar_in
 
-        loss, _ = vp_tree_loss_from_hidden(
-            mpar_in(hidden, "model"), w_local, tokens, parent, w_lp, w_ent, 1.0, 16
-        )
-        return loss
+        def f(h, w_local):
+            loss, _ = vp_tree_loss_from_hidden(
+                mpar_in(h, "model"), w_local, tokens, parent, w_lp, w_ent, 1.0, 16
+            )
+            return loss
+
+        loss, (gh, gw_local) = jax.value_and_grad(f, argnums=(0, 1))(hidden, w_local)
+        return loss, gh, gw_local
 
     l_loc, (gh_loc, gw_loc) = jax.value_and_grad(local, argnums=(0, 1))(hidden, w)
-    l_sh, (gh_sh, gw_sh) = jax.value_and_grad(
-        lambda h, w: sharded(h, w), argnums=(0, 1)
-    )(hidden, w)
+    l_sh, gh_sh, gw_sh = sharded(hidden, w)
     np.testing.assert_allclose(float(l_sh), float(l_loc), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gh_sh), np.asarray(gh_loc),
                                rtol=1e-4, atol=1e-5)
