@@ -47,7 +47,8 @@ def timed_step(fn, *args, iters=5):
 
 def main():
     mc = MODEL_CONFIGS["qwen3-0.6b"]
-    ec = EngineConfig(block_q=256, block_kv=256, remat=True, attn_backend="pallas")
+    ec = EngineConfig(block_q=256, block_kv=256, remat=True, attn_backend="pallas",
+                      bucketing="exact")  # fixed workload: measure the engine, not padding
 
     # tau2-16k-like: long shared tool-call prompts, heavy branching
     seqs, attachs = synthetic_rollout_batch(

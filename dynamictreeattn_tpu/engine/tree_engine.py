@@ -54,6 +54,10 @@ class EngineConfig:
     loss_chunk: int = 1024
     attn_backend: str = "pallas"  # "pallas" | "reference"
     interpret: bool = False  # pallas interpret mode (CPU debugging)
+    # "ladder": geometric (≤25% waste) length buckets so jit shapes repeat
+    # across workloads (SURVEY.md §7.3 hard part 3); "exact": minimal padding
+    # (one compile per distinct length — benchmarking single fixed workloads)
+    bucketing: str = "ladder"
 
     @property
     def pad_multiple(self) -> int:
@@ -61,6 +65,17 @@ class EngineConfig:
         import math
 
         return math.lcm(self.block_q, self.block_kv)
+
+    def bucket_length(self, n: int) -> int:
+        m = self.pad_multiple
+        exact = max(m, -(-n // m) * m)
+        if self.bucketing == "exact":
+            return exact
+        # geometric ladder of m-multiples with ~1.25x steps
+        b = m
+        while b < exact:
+            b = max(-(-int(b * 1.25) // m) * m, b + m)
+        return b
 
 
 def _next_pow2(x: int) -> int:
@@ -104,8 +119,7 @@ class TreeEngine:
             packed = flatten_trie(trie_or_packed)
         else:
             packed = trie_or_packed
-        m = cfg.pad_multiple
-        n_pad = max(m, -(-packed.n_padded // m) * m)
+        n_pad = cfg.bucket_length(packed.n_padded)
         if packed.n_padded != n_pad:
             # re-pad to the bucket (flatten's _pad_packed is idempotent here)
             from dynamictreeattn_tpu.tries.flatten import _pad_packed

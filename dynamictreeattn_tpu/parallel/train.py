@@ -97,9 +97,7 @@ def stack_batches(tries_or_packed: list, cfg: EngineConfig) -> StackedBatch:
     packeds = [
         flatten_trie(t) if isinstance(t, TokenTrie) else t for t in tries_or_packed
     ]
-    m = cfg.pad_multiple
-    n_pad = max(max(p.n_padded for p in packeds), m)
-    n_pad = -(-n_pad // m) * m
+    n_pad = cfg.bucket_length(max(p.n_padded for p in packeds))
     packeds = [_pad_packed(p, n_pad) if p.n_padded != n_pad else p for p in packeds]
 
     metas = [build_block_meta(p.last_desc, cfg.block_q, cfg.block_kv) for p in packeds]
