@@ -46,8 +46,9 @@ def timed_step(fn, *args, iters=5):
 
 
 def main():
-    mc = MODEL_CONFIGS["qwen3-0.6b"]
-    ec = EngineConfig(block_q=256, block_kv=256, remat=True, attn_backend="pallas",
+    mc = MODEL_CONFIGS[os.environ.get("DTA_BENCH_MODEL", "qwen3-0.6b")]
+    blk = int(os.environ.get("DTA_BENCH_BLOCK", "512"))
+    ec = EngineConfig(block_q=blk, block_kv=blk, remat=True, attn_backend="pallas",
                       bucketing="exact")  # fixed workload: measure the engine, not padding
 
     # tau2-16k-like: long shared tool-call prompts, heavy branching
