@@ -46,8 +46,9 @@ __all__ = ["EngineConfig", "TrieBatch", "TreeEngine", "pack_sequences_dense"]
 
 @dataclasses.dataclass(frozen=True)
 class EngineConfig:
-    block_q: int = 256
-    block_kv: int = 256
+    # 512 beats 256 by ~25% on tau2-like tries on v5e (stats/, bench.py)
+    block_q: int = 512
+    block_kv: int = 512
     remat: bool = True
     remat_policy: str | None = None  # None (full recompute) | "dots"
     temperature: float = 1.0

@@ -55,8 +55,8 @@ def _interpret_mode(interpret: bool):
 
 @dataclasses.dataclass(frozen=True)
 class BlockSizes:
-    block_q: int = 256
-    block_kv: int = 256
+    block_q: int = 512
+    block_kv: int = 512
 
     # dedicated backward block sizes could be added later; fwd sizes are used
     # for all three kernels for now.
