@@ -9,5 +9,6 @@ from dynamictreeattn_tpu.training.checkpoint import (
     CheckpointManager,
 )
 from dynamictreeattn_tpu.training.trainer import Trainer, TrainConfig
+from dynamictreeattn_tpu.training.batching import TokenBudgetBatcher
 
-__all__ = ["CheckpointManager", "Trainer", "TrainConfig"]
+__all__ = ["CheckpointManager", "Trainer", "TrainConfig", "TokenBudgetBatcher"]

@@ -45,6 +45,7 @@ class TrainConfig:
     ckpt_dir: str | None = None
     ckpt_every: int = 0  # 0 = only on demand
     log_every: int = 1
+    skip_nonfinite: bool = True  # drop updates from non-finite-loss steps
 
 
 class Trainer:
@@ -145,11 +146,22 @@ class Trainer:
         tries = self.partition(seqs, attachs)
         batch = stack_batches(tries, self.ec)
         t0 = time.time()
-        self.params, self.opt_state, loss, aux = self._step_fn(
+        new_params, new_opt, loss, aux = self._step_fn(
             self.params, self.opt_state, batch.arrays
         )
         loss = float(loss)  # host sync
         dt = time.time() - t0
+        if self.tc.skip_nonfinite and not np.isfinite(loss):
+            # drop the poisoned update (bad rollout batch / overflow); the
+            # rollout stream continues — basic training robustness the
+            # reference (grads-only, no loop) never needed
+            self.skipped_steps = getattr(self, "skipped_steps", 0) + 1
+            self.step_idx += 1
+            rec = {"step": self.step_idx, "loss": loss, "skipped": True,
+                   "time": dt, "n_sequences": len(seqs)}
+            self.history.append(rec)
+            return rec
+        self.params, self.opt_state = new_params, new_opt
         self.step_idx += 1
 
         # feed the cost model: with dp=1 the attribution is exact; with dp>1

@@ -41,7 +41,7 @@ def bench(tag, ec):
           f"[compile {compile_t:.0f}s, n_pad {batch.n_padded}]", flush=True)
 
 
-cases = sys.argv[1:] or ["base", "remat_dots", "no_remat", "chunk4096", "bkv512"]
+cases = sys.argv[1:] or ["base", "chunk4096"]
 for case in cases:
     if case == "base":
         bench("base (remat, chunk1024, 256/256)", EngineConfig())
@@ -51,7 +51,9 @@ for case in cases:
         bench("no remat", EngineConfig(remat=False))
     elif case == "chunk4096":
         bench("loss_chunk=4096", EngineConfig(loss_chunk=4096))
-    elif case == "bkv512":
-        bench("block_kv=512", EngineConfig(block_kv=512))
-    elif case == "bq512":
-        bench("block_q=512", EngineConfig(block_q=512))
+    elif case == "bkv1024":
+        bench("block 512/1024", EngineConfig(block_kv=1024))
+    elif case == "bq1024":
+        bench("block 1024/512", EngineConfig(block_q=1024))
+    elif case == "b1024":
+        bench("block 1024/1024", EngineConfig(block_q=1024, block_kv=1024))

@@ -65,3 +65,20 @@ def test_checkpoint_save_restore_roundtrip(tmp_path):
     # resumed trainer can keep stepping
     rec = tr2.train_step(*next(iter(_batches(1, seed=9))))
     assert np.isfinite(rec["loss"])
+
+
+def test_token_budget_batcher():
+    from dynamictreeattn_tpu.training import TokenBudgetBatcher
+
+    rng = np.random.default_rng(2)
+    stream = [random_trie_batch(rng, n_seqs=4, vocab=64, max_len=16)
+              for _ in range(6)]
+    batches = list(TokenBudgetBatcher(budget=120)(stream))
+    # all sequences preserved
+    total_in = sum(len(s) for seqs, _ in stream for s in seqs)
+    total_out = sum(len(s) for seqs, _ in batches for s in seqs)
+    assert total_in == total_out
+    assert len(batches) >= 2  # budget forces splits
+    # groups are whole: attachments stay aligned
+    for seqs, attachs in batches:
+        assert len(seqs) == len(attachs)
