@@ -48,7 +48,10 @@ def timed_step(fn, *args, iters=5):
 def main():
     mc = MODEL_CONFIGS[os.environ.get("DTA_BENCH_MODEL", "qwen3-0.6b")]
     blk = int(os.environ.get("DTA_BENCH_BLOCK", "512"))
-    ec = EngineConfig(block_q=blk, block_kv=blk, remat=True, attn_backend="pallas",
+    bkv = int(os.environ.get("DTA_BENCH_BKV", str(blk)))
+    chunk = int(os.environ.get("DTA_BENCH_CHUNK", "1024"))
+    ec = EngineConfig(block_q=blk, block_kv=bkv, remat=True, attn_backend="pallas",
+                      loss_chunk=chunk,
                       bucketing="exact")  # fixed workload: measure the engine, not padding
 
     # tau2-16k-like: long shared tool-call prompts, heavy branching

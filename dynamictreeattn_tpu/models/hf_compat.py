@@ -18,22 +18,29 @@ __all__ = ["to_hf_state_dict", "from_hf_state_dict", "load_hf_checkpoint", "hf_c
 
 
 def hf_config(config: Qwen3Config):
-    """Build the matching transformers Qwen3Config."""
-    from transformers.models.qwen3 import Qwen3Config as HFQwen3Config
-
-    return HFQwen3Config(
+    """Build the matching transformers config (Qwen3 or Qwen2 generation)."""
+    common = dict(
         vocab_size=config.vocab_size,
         hidden_size=config.hidden_size,
         intermediate_size=config.intermediate_size,
         num_hidden_layers=config.num_hidden_layers,
         num_attention_heads=config.num_attention_heads,
         num_key_value_heads=config.num_key_value_heads,
-        head_dim=config.head_dim,
         rms_norm_eps=config.rms_norm_eps,
         rope_theta=config.rope_theta,
         tie_word_embeddings=config.tie_word_embeddings,
-        attention_bias=False,
     )
+    if config.use_qk_norm:
+        from transformers.models.qwen3 import Qwen3Config as HFQwen3Config
+
+        assert not config.attention_bias
+        return HFQwen3Config(head_dim=config.head_dim, attention_bias=False, **common)
+    # Qwen2.5: derived head_dim, hardwired qkv biases
+    from transformers.models.qwen2 import Qwen2Config as HFQwen2Config
+
+    assert config.head_dim * config.num_attention_heads == config.hidden_size
+    assert config.attention_bias
+    return HFQwen2Config(**common)
 
 
 def to_hf_state_dict(params: dict, config: Qwen3Config) -> dict:
@@ -51,8 +58,13 @@ def to_hf_state_dict(params: dict, config: Qwen3Config) -> dict:
         out[pre + "self_attn.k_proj.weight"] = np.asarray(lp["wk"][i], np.float32).T
         out[pre + "self_attn.v_proj.weight"] = np.asarray(lp["wv"][i], np.float32).T
         out[pre + "self_attn.o_proj.weight"] = np.asarray(lp["wo"][i], np.float32).T
-        out[pre + "self_attn.q_norm.weight"] = np.asarray(lp["q_norm"][i], np.float32)
-        out[pre + "self_attn.k_norm.weight"] = np.asarray(lp["k_norm"][i], np.float32)
+        if "q_norm" in lp:
+            out[pre + "self_attn.q_norm.weight"] = np.asarray(lp["q_norm"][i], np.float32)
+            out[pre + "self_attn.k_norm.weight"] = np.asarray(lp["k_norm"][i], np.float32)
+        if "bq" in lp:
+            out[pre + "self_attn.q_proj.bias"] = np.asarray(lp["bq"][i], np.float32)
+            out[pre + "self_attn.k_proj.bias"] = np.asarray(lp["bk"][i], np.float32)
+            out[pre + "self_attn.v_proj.bias"] = np.asarray(lp["bv"][i], np.float32)
         out[pre + "mlp.gate_proj.weight"] = np.asarray(lp["gate"][i], np.float32).T
         out[pre + "mlp.up_proj.weight"] = np.asarray(lp["up"][i], np.float32).T
         out[pre + "mlp.down_proj.weight"] = np.asarray(lp["down"][i], np.float32).T
@@ -96,14 +108,19 @@ def from_hf_state_dict(sd: dict, config: Qwen3Config, dtype=None) -> dict:
             "wk": stack_t("model.layers.{}.self_attn.k_proj.weight"),
             "wv": stack_t("model.layers.{}.self_attn.v_proj.weight"),
             "wo": stack_t("model.layers.{}.self_attn.o_proj.weight"),
-            "q_norm": stack("model.layers.{}.self_attn.q_norm.weight"),
-            "k_norm": stack("model.layers.{}.self_attn.k_norm.weight"),
             "gate": stack_t("model.layers.{}.mlp.gate_proj.weight"),
             "up": stack_t("model.layers.{}.mlp.up_proj.weight"),
             "down": stack_t("model.layers.{}.mlp.down_proj.weight"),
         },
         "final_norm": jnp.asarray(get("model.norm.weight"), dtype),
     }
+    if c.use_qk_norm:
+        params["layers"]["q_norm"] = stack("model.layers.{}.self_attn.q_norm.weight")
+        params["layers"]["k_norm"] = stack("model.layers.{}.self_attn.k_norm.weight")
+    if c.attention_bias:
+        params["layers"]["bq"] = stack("model.layers.{}.self_attn.q_proj.bias")
+        params["layers"]["bk"] = stack("model.layers.{}.self_attn.k_proj.bias")
+        params["layers"]["bv"] = stack("model.layers.{}.self_attn.v_proj.bias")
     if not c.tie_word_embeddings:
         params["lm_head"] = jnp.asarray(get("lm_head.weight").T, dtype)
     return params

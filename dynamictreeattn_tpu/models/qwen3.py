@@ -53,6 +53,11 @@ class Qwen3Config:
     rms_norm_eps: float = 1e-6
     rope_theta: float = 1_000_000.0
     tie_word_embeddings: bool = True
+    # Qwen2.5 variants (reference supports both generations,
+    # reference: tree_training_engine.py:104-106): no per-head q/k RMSNorm,
+    # biases on the q/k/v projections (not o_proj).
+    use_qk_norm: bool = True
+    attention_bias: bool = False
 
     @property
     def group(self) -> int:
@@ -88,6 +93,23 @@ MODEL_CONFIGS: dict[str, Qwen3Config] = {
         hidden_size=5120, intermediate_size=17408, num_hidden_layers=40,
         num_attention_heads=40, num_key_value_heads=8, tie_word_embeddings=False,
     ),
+    # Qwen2.5 dense family (published configs)
+    "qwen2.5-0.5b": Qwen3Config(
+        hidden_size=896, intermediate_size=4864, num_hidden_layers=24,
+        num_attention_heads=14, num_key_value_heads=2, head_dim=64,
+        tie_word_embeddings=True, use_qk_norm=False, attention_bias=True,
+    ),
+    "qwen2.5-1.5b": Qwen3Config(
+        hidden_size=1536, intermediate_size=8960, num_hidden_layers=28,
+        num_attention_heads=12, num_key_value_heads=2, head_dim=128,
+        tie_word_embeddings=True, use_qk_norm=False, attention_bias=True,
+    ),
+    "qwen2.5-7b": Qwen3Config(
+        vocab_size=152064, hidden_size=3584, intermediate_size=18944,
+        num_hidden_layers=28, num_attention_heads=28, num_key_value_heads=4,
+        head_dim=128, tie_word_embeddings=False, use_qk_norm=False,
+        attention_bias=True,
+    ),
 }
 
 
@@ -107,21 +129,27 @@ def init_params(config: Qwen3Config, key, dtype=jnp.bfloat16) -> dict:
     def dense(k, fan_in, *shape):
         return (jax.random.normal(k, shape, jnp.float32) * fan_in**-0.5).astype(dtype)
 
+    layers = {
+        "ln1": norm(L, d),
+        "ln2": norm(L, d),
+        "wq": dense(keys[1], d, L, d, hq * dh),
+        "wk": dense(keys[2], d, L, d, hkv * dh),
+        "wv": dense(keys[3], d, L, d, hkv * dh),
+        "wo": dense(keys[4], hq * dh, L, hq * dh, d),
+        "gate": dense(keys[5], d, L, d, I),
+        "up": dense(keys[6], d, L, d, I),
+        "down": dense(keys[7], I, L, I, d),
+    }
+    if c.use_qk_norm:
+        layers["q_norm"] = norm(L, dh)
+        layers["k_norm"] = norm(L, dh)
+    if c.attention_bias:
+        layers["bq"] = jnp.zeros((L, hq * dh), dtype)
+        layers["bk"] = jnp.zeros((L, hkv * dh), dtype)
+        layers["bv"] = jnp.zeros((L, hkv * dh), dtype)
     params = {
         "embed": dense(keys[0], d, V, d),  # scaled like HF init ~N(0, 0.02)-ish
-        "layers": {
-            "ln1": norm(L, d),
-            "ln2": norm(L, d),
-            "wq": dense(keys[1], d, L, d, hq * dh),
-            "wk": dense(keys[2], d, L, d, hkv * dh),
-            "wv": dense(keys[3], d, L, d, hkv * dh),
-            "wo": dense(keys[4], hq * dh, L, hq * dh, d),
-            "q_norm": norm(L, dh),
-            "k_norm": norm(L, dh),
-            "gate": dense(keys[5], d, L, d, I),
-            "up": dense(keys[6], d, L, d, I),
-            "down": dense(keys[7], I, L, I, d),
-        },
+        "layers": layers,
         "final_norm": norm(d),
     }
     if not c.tie_word_embeddings:
@@ -181,11 +209,19 @@ def _layer(x, lp, cos, sin, config: Qwen3Config, attn_fn: AttnFn):
 
     # --- attention block
     h = rms_norm(x, lp["ln1"], eps)
-    q = (h @ lp["wq"]).reshape(n, hq, dh)
-    k = (h @ lp["wk"]).reshape(n, hkv, dh)
-    v = (h @ lp["wv"]).reshape(n, hkv, dh)
-    q = rms_norm(q, lp["q_norm"], eps)  # per-head RMS over head_dim
-    k = rms_norm(k, lp["k_norm"], eps)
+    q = h @ lp["wq"]
+    k = h @ lp["wk"]
+    v = h @ lp["wv"]
+    if c.attention_bias:
+        q = q + lp["bq"]
+        k = k + lp["bk"]
+        v = v + lp["bv"]
+    q = q.reshape(n, hq, dh)
+    k = k.reshape(n, hkv, dh)
+    v = v.reshape(n, hkv, dh)
+    if c.use_qk_norm:
+        q = rms_norm(q, lp["q_norm"], eps)  # per-head RMS over head_dim
+        k = rms_norm(k, lp["k_norm"], eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     o = attn_fn(

@@ -64,11 +64,19 @@ def _layer_tp(x, lp, cos, sin, config: Qwen3Config, attn_fn, tp: int, axis: str)
     eps = c.rms_norm_eps
 
     h = mpar_in(rms_norm(x, lp["ln1"], eps), axis)
-    q = (h @ lp["wq"]).reshape(n, hq_l, dh)
-    k = (h @ lp["wk"]).reshape(n, hkv_l, dh)
-    v = (h @ lp["wv"]).reshape(n, hkv_l, dh)
-    q = rms_norm(q, lp["q_norm"], eps)
-    k = rms_norm(k, lp["k_norm"], eps)
+    q = h @ lp["wq"]
+    k = h @ lp["wk"]
+    v = h @ lp["wv"]
+    if c.attention_bias:
+        q = q + lp["bq"]
+        k = k + lp["bk"]
+        v = v + lp["bv"]
+    q = q.reshape(n, hq_l, dh)
+    k = k.reshape(n, hkv_l, dh)
+    v = v.reshape(n, hkv_l, dh)
+    if c.use_qk_norm:
+        q = rms_norm(q, lp["q_norm"], eps)
+        k = rms_norm(k, lp["k_norm"], eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
     o = attn_fn(q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2))

@@ -52,14 +52,19 @@ def param_specs(config: Qwen3Config) -> dict:
             "wk": P(None, None, "model"),
             "wv": P(None, None, "model"),
             "wo": P(None, "model", None),
-            "q_norm": P(None, None),
-            "k_norm": P(None, None),
             "gate": P(None, None, "model"),
             "up": P(None, None, "model"),
             "down": P(None, "model", None),
         },
         "final_norm": P(None),
     }
+    if config.use_qk_norm:
+        specs["layers"]["q_norm"] = P(None, None)
+        specs["layers"]["k_norm"] = P(None, None)
+    if config.attention_bias:
+        specs["layers"]["bq"] = P(None, "model")
+        specs["layers"]["bk"] = P(None, "model")
+        specs["layers"]["bv"] = P(None, "model")
     if not config.tie_word_embeddings:
         specs["lm_head"] = P(None, "model")
     return specs
@@ -175,8 +180,9 @@ def make_train_step(
         # compute: each model rank holds a partial grad (its heads only).
         # Every other replicated param's grad is already full thanks to the
         # mpar_in operators in tp_model (see tp_model.mpar_in).
-        for nrm in ("q_norm", "k_norm"):
-            grads["layers"][nrm] = jax.lax.psum(grads["layers"][nrm], "model")
+        if mc.use_qk_norm:
+            for nrm in ("q_norm", "k_norm"):
+                grads["layers"][nrm] = jax.lax.psum(grads["layers"][nrm], "model")
         grads = jax.tree.map(lambda g: jax.lax.psum(g, "data"), grads)
         loss = jax.lax.psum(loss, "data")
         aux = jax.tree.map(lambda a: jax.lax.psum(a, "data"), aux)

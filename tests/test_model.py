@@ -138,3 +138,44 @@ def test_remat_matches_no_remat():
         g0,
         g1,
     )
+
+
+def test_qwen25_logits_match_hf():
+    """Qwen2.5 generation: no q/k-norm, qkv biases (reference supports both
+    generations, reference: tree_training_engine.py:104-106)."""
+    import torch
+    from transformers.models.qwen2 import Qwen2ForCausalLM
+
+    cfg = Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, tie_word_embeddings=True,
+        use_qk_norm=False, attention_bias=True,
+    )
+    params = init_params(cfg, jax.random.key(5), dtype=jnp.float32)
+    # non-trivial biases
+    import numpy as _np
+
+    rng = _np.random.default_rng(0)
+    for b in ("bq", "bk", "bv"):
+        params["layers"][b] = jnp.asarray(
+            rng.normal(size=params["layers"][b].shape).astype(_np.float32) * 0.1
+        )
+
+    n = 20
+    tokens = np.arange(n, dtype=np.int32) * 5 % cfg.vocab_size
+    hidden = forward_hidden(
+        params, cfg, jnp.asarray(tokens), jnp.arange(n, dtype=jnp.int32),
+        _causal_attn_fn(n),
+    )
+    ours = np.asarray(logits_from_hidden(params, cfg, hidden))
+
+    hf_model = Qwen2ForCausalLM(hf_config(cfg)).eval()
+    sd = {k: torch.from_numpy(np.array(v))
+          for k, v in to_hf_state_dict(params, cfg).items()}
+    missing, unexpected = hf_model.load_state_dict(sd, strict=False)
+    assert not missing, missing
+    assert not unexpected, unexpected
+    with torch.no_grad():
+        theirs = hf_model(torch.from_numpy(tokens[None].astype(np.int64))).logits[0]
+    np.testing.assert_allclose(ours, theirs.float().numpy(), rtol=2e-4, atol=2e-4)

@@ -8,6 +8,7 @@ import pytest
 
 from dynamictreeattn_tpu.engine import EngineConfig, TreeEngine
 from dynamictreeattn_tpu.models import Qwen3Config, init_params
+from dynamictreeattn_tpu.engine import TreeEngine
 from dynamictreeattn_tpu.parallel import (
     LB_by_DFS_and_TM,
     LB_by_n_tokens,
@@ -134,3 +135,39 @@ def test_load_balancers_partition_and_balance(K):
     e_dfs = eval_bins(seqs, LB_by_DFS_and_TM(seqs, tm, K, block_size=16), tm, block_size=16)
     assert e_tm["makespan"] <= e_tok["makespan"] * 1.3
     assert e_dfs["makespan"] <= e_tok["makespan"] * 1.5
+
+
+def test_sharded_step_qwen25_variant():
+    """Bias + no-qk-norm (Qwen2.5) param layout shards correctly."""
+    cfg25 = Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, tie_word_embeddings=True,
+        use_qk_norm=False, attention_bias=True,
+    )
+    rng = np.random.default_rng(21)
+    tries = []
+    all_params = init_params(cfg25, jax.random.key(2), dtype=jnp.float32)
+    # non-trivial biases so their grads matter
+    for b in ("bq", "bk", "bv"):
+        all_params["layers"][b] = jnp.asarray(
+            rng.normal(size=all_params["layers"][b].shape).astype(np.float32) * 0.1
+        )
+    for r in range(2):
+        seqs, attachs = random_trie_batch(rng, n_seqs=5, vocab=128, max_len=16)
+        tries.append(TokenTrie(seqs, attachs))
+    mesh = make_mesh(dp=2, tp=2)
+    sharded = shard_params(all_params, mesh, cfg25)
+    step = make_train_step(cfg25, mesh, ECFG)
+    batch = stack_batches(tries, ECFG)
+    loss, grads, _ = step(sharded, batch.arrays)
+
+    engine = TreeEngine(cfg25, ECFG)
+    total_loss, total_grads = 0.0, None
+    for t in tries:
+        l, g, _ = engine.loss_and_grad(all_params, engine.prepare(t))
+        total_loss += float(l)
+        total_grads = g if total_grads is None else jax.tree.map(jnp.add, total_grads, g)
+    np.testing.assert_allclose(float(loss), total_loss, rtol=1e-4)
+    rows = compare_grads(total_grads, jax.device_get(grads))
+    assert rows[0][1] < 1e-3, rows[0]
