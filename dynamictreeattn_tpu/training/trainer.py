@@ -37,8 +37,10 @@ class TrainConfig:
     dp: int = 1
     tp: int = 1
     learning_rate: float = 1e-5
+    warmup_steps: int = 0  # linear warmup into a constant schedule
     weight_decay: float = 0.0
     grad_clip: float = 1.0
+    grad_accum: int = 1  # optax.MultiSteps microbatch accumulation
     param_dtype: str = "bf16"
     lb_method: str = "LB_by_DFS_and_TM"  # or "LB_by_n_tokens"
     lb_block_size: int = 2048
@@ -69,12 +71,16 @@ class Trainer:
         tx = []
         if train_config.grad_clip:
             tx.append(optax.clip_by_global_norm(train_config.grad_clip))
-        tx.append(
-            optax.adamw(
-                train_config.learning_rate, weight_decay=train_config.weight_decay
-            )
-        )
-        self.optimizer = optax.chain(*tx)
+        lr = train_config.learning_rate
+        if train_config.warmup_steps:
+            # 10%→100% linear warmup (starting exactly at 0 would zero the
+            # first update entirely)
+            lr = optax.linear_schedule(0.1 * lr, lr, train_config.warmup_steps)
+        tx.append(optax.adamw(lr, weight_decay=train_config.weight_decay))
+        opt = optax.chain(*tx)
+        if train_config.grad_accum > 1:
+            opt = optax.MultiSteps(opt, every_k_schedule=train_config.grad_accum)
+        self.optimizer = opt
         self._step_fn = make_train_step(
             self.mc, self.mesh, self.ec, optimizer=self.optimizer
         )

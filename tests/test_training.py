@@ -82,3 +82,22 @@ def test_token_budget_batcher():
     # groups are whole: attachments stay aligned
     for seqs, attachs in batches:
         assert len(seqs) == len(attachs)
+
+
+def test_grad_accum_and_warmup():
+    tc = TrainConfig(dp=1, tp=1, learning_rate=1e-3, warmup_steps=2,
+                     grad_accum=2, param_dtype="fp32")
+    tr = Trainer(TINY, ECFG, tc)
+    tr.init(seed=4)
+    import jax
+
+    p0 = jax.device_get(tr.params)
+    seqs, attachs = next(iter(_batches(1, seed=11)))
+    tr.train_step(seqs, attachs)  # accumulation step: params unchanged
+    p1 = jax.device_get(tr.params)
+    np.testing.assert_array_equal(
+        np.asarray(p0["final_norm"]), np.asarray(p1["final_norm"])
+    )
+    tr.train_step(seqs, attachs)  # second micro-step applies the update
+    p2 = jax.device_get(tr.params)
+    assert not np.array_equal(np.asarray(p1["embed"]), np.asarray(p2["embed"]))
