@@ -104,3 +104,24 @@ def test_run_all_and_dp_pipeline(tmp_path, capsys):
     assert agg["aggregate"] and agg["total_tokens"] > 0
     groups = [json.loads(line) for line in out[:-1]]
     assert all(g["bins"] == 2 for g in groups)
+
+
+def test_train_cli_with_resume(tmp_path, capsys):
+    from dynamictreeattn_tpu.cli import train
+
+    args = COMMON[:-2] + [  # drop --iters
+        "--data", "synthetic:n_prompts=1,samples=3,prompt_lo=8,prompt_hi=12,"
+        "completion_lo=4,completion_hi=8",
+        "--steps", "2", "--dp", "2", "--tp", "2", "--lr", "1e-3",
+        "--ckpt-dir", str(tmp_path / "ckpt"),
+    ]
+    train.main(args)
+    out1 = [json.loads(line) for line in capsys.readouterr().out.splitlines()
+            if line.startswith("{")]
+    assert len(out1) == 2 and out1[-1]["step"] == 2
+
+    train.main(args + ["--resume", "--steps", "1"])
+    out2 = capsys.readouterr().out
+    assert "resumed at step 2" in out2
+    rec = [json.loads(line) for line in out2.splitlines() if line.startswith("{")][-1]
+    assert rec["step"] == 3
