@@ -56,7 +56,8 @@ def main():
 
     # tau2-16k-like: long shared tool-call prompts, heavy branching
     seqs, attachs = synthetic_rollout_batch(
-        seed=0, n_prompts=2, samples_per_prompt=16,
+        seed=0, n_prompts=int(os.environ.get("DTA_BENCH_PROMPTS", "2")),
+        samples_per_prompt=16,
         prompt_len=(1024, 2048), completion_len=(128, 512),
         branch_prob=0.85,
     )

@@ -51,6 +51,7 @@ class EngineConfig:
     block_kv: int = 512
     remat: bool = True
     remat_policy: str | None = None  # None (full recompute) | "dots"
+    remat_segments: int = 0  # >0: nested √L checkpointing with this many segments
     temperature: float = 1.0
     loss_chunk: int = 1024
     attn_backend: str = "pallas"  # "pallas" | "reference"
@@ -177,6 +178,7 @@ class TreeEngine:
             self._attn_fn(last_desc, meta),
             remat=self.cfg.remat,
             remat_policy=self.cfg.remat_policy,
+            remat_segments=self.cfg.remat_segments,
         )
 
     def _logprobs(self, params, tokens, depth, parent, last_desc, meta):

@@ -245,6 +245,7 @@ def forward_hidden(
     attn_fn: AttnFn,
     remat: bool = False,
     remat_policy: str | None = None,
+    remat_segments: int = 0,
 ) -> jnp.ndarray:
     """Returns final-norm'd hidden states [n, d] (LM head applied separately
     so losses can fuse it — ops/losses.py)."""
@@ -257,11 +258,33 @@ def forward_hidden(
     def scan_fn(carry, lp):
         return body(carry, lp, cos, sin), None
 
-    if remat:
-        scan_fn = jax.checkpoint(
+    if remat and remat_segments:
+        # nested (√L-style) checkpointing: the plain remat'd scan still saves
+        # one [n, d] carry per layer; two checkpointed scan levels save
+        # G + L/G carries at the cost of one extra forward per layer
+        L = c.num_hidden_layers
+        G = remat_segments
+        assert L % G == 0, f"{L=} not divisible by {remat_segments=}"
+        S = L // G
+        seg_params = jax.tree.map(
+            lambda a: a.reshape(G, S, *a.shape[1:]), params["layers"]
+        )
+        inner = jax.checkpoint(
             scan_fn, prevent_cse=False, policy=_remat_policy(remat_policy)
         )
-    x, _ = jax.lax.scan(scan_fn, x, params["layers"])
+
+        def seg_fn(carry, sp):
+            out, _ = jax.lax.scan(inner, carry, sp)
+            return out, None
+
+        seg_fn = jax.checkpoint(seg_fn, prevent_cse=False)
+        x, _ = jax.lax.scan(seg_fn, x, seg_params)
+    else:
+        if remat:
+            scan_fn = jax.checkpoint(
+                scan_fn, prevent_cse=False, policy=_remat_policy(remat_policy)
+            )
+        x, _ = jax.lax.scan(scan_fn, x, params["layers"])
     return rms_norm(x, params["final_norm"], c.rms_norm_eps)
 
 

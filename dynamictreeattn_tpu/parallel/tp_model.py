@@ -99,6 +99,7 @@ def forward_hidden_tp(
     axis: str = "model",
     remat: bool = False,
     remat_policy: str | None = None,
+    remat_segments: int = 0,
 ) -> jnp.ndarray:
     """Like models.qwen3.forward_hidden but on tp-sharded local params.
 
@@ -113,13 +114,33 @@ def forward_hidden_tp(
     def scan_fn(carry, lp):
         return body(carry, lp, cos, sin), None
 
-    if remat:
+    if remat and remat_segments:
+        from dynamictreeattn_tpu.models.qwen3 import _remat_policy
+
+        L = c.num_hidden_layers
+        G = remat_segments
+        assert L % G == 0
+        seg_params = jax.tree.map(
+            lambda a: a.reshape(G, L // G, *a.shape[1:]), params_local["layers"]
+        )
+        inner = jax.checkpoint(
+            scan_fn, prevent_cse=False, policy=_remat_policy(remat_policy)
+        )
+
+        def seg_fn(carry, sp):
+            out, _ = jax.lax.scan(inner, carry, sp)
+            return out, None
+
+        x, _ = jax.lax.scan(jax.checkpoint(seg_fn, prevent_cse=False), x, seg_params)
+    elif remat:
         from dynamictreeattn_tpu.models.qwen3 import _remat_policy
 
         scan_fn = jax.checkpoint(
             scan_fn, prevent_cse=False, policy=_remat_policy(remat_policy)
         )
-    x, _ = jax.lax.scan(scan_fn, x, params_local["layers"])
+        x, _ = jax.lax.scan(scan_fn, x, params_local["layers"])
+    else:
+        x, _ = jax.lax.scan(scan_fn, x, params_local["layers"])
     # final mpar_in: the vocab-parallel loss produces per-rank partial hidden
     # cotangents (its vocab shard only)
     return mpar_in(rms_norm(x, params_local["final_norm"], c.rms_norm_eps), axis)

@@ -168,6 +168,7 @@ def make_train_step(
             h = forward_hidden_tp(
                 p, mc, tokens, depth, attn_fn, tp=tp, remat=ec.remat,
                 remat_policy=ec.remat_policy,
+                remat_segments=ec.remat_segments,
             )
             w_local = p["embed"].T if mc.tie_word_embeddings else p["lm_head"]
             return vp_tree_loss_from_hidden(

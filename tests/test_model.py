@@ -179,3 +179,30 @@ def test_qwen25_logits_match_hf():
     with torch.no_grad():
         theirs = hf_model(torch.from_numpy(tokens[None].astype(np.int64))).logits[0]
     np.testing.assert_allclose(ours, theirs.float().numpy(), rtol=2e-4, atol=2e-4)
+
+
+def test_nested_remat_matches_plain():
+    cfg = Qwen3Config(
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, tie_word_embeddings=True,
+    )
+    params = init_params(cfg, jax.random.key(9), dtype=jnp.float32)
+    n = 16
+    tokens = jnp.arange(n, dtype=jnp.int32) % cfg.vocab_size
+    pos = jnp.arange(n, dtype=jnp.int32)
+    attn = _causal_attn_fn(n)
+
+    def loss(params, segs):
+        h = forward_hidden(params, cfg, tokens, pos, attn, remat=True,
+                           remat_segments=segs)
+        return jnp.sum(h.astype(jnp.float32) ** 2)
+
+    g0 = jax.grad(lambda p: loss(p, 0))(params)
+    g1 = jax.grad(lambda p: loss(p, 2))(params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4
+        ),
+        g0, g1,
+    )
