@@ -35,14 +35,16 @@ from dynamictreeattn_tpu.tries import TokenTrie
 
 def timed_step(fn, *args, iters=5):
     out = fn(*args)
-    float(out[0])  # compile + sync (loss scalar roundtrip syncs the program)
+    loss = float(out[0])  # compile + sync (loss roundtrip syncs the program)
+    del out  # don't hold grads alive across phases (HBM)
     ts = []
     for _ in range(iters):
         t0 = time.time()
         out = fn(*args)
-        float(out[0])
+        loss = float(out[0])
+        del out
         ts.append(time.time() - t0)
-    return out, float(np.median(ts))
+    return loss, float(np.median(ts))
 
 
 def main():
@@ -71,10 +73,10 @@ def main():
     )
     params = init_params(mc, jax.random.key(0), dtype=jnp.bfloat16)
 
-    (loss_t, _, _), dt_tree = timed_step(engine.loss_and_grad, params, tree_batch)
-    (loss_d, _, _), dt_dense = timed_step(engine.loss_and_grad, params, dense_batch)
+    loss_t, dt_tree = timed_step(engine.loss_and_grad, params, tree_batch)
+    loss_d, dt_dense = timed_step(engine.loss_and_grad, params, dense_batch)
 
-    loss_rel = abs(float(loss_t) - float(loss_d)) / max(1e-9, abs(float(loss_d)))
+    loss_rel = abs(loss_t - loss_d) / max(1e-9, abs(loss_d))
     assert loss_rel < 1e-3, f"tree/dense loss diverged: {loss_rel}"
 
     tree_tps = n_dense / dt_tree
@@ -92,7 +94,8 @@ def main():
         file=sys.stderr,
     )
     print(json.dumps({
-        "metric": "qwen3-0.6b_tree_train_dense_equiv_tokens_per_s_per_chip",
+        "metric": f"{os.environ.get('DTA_BENCH_MODEL', 'qwen3-0.6b')}"
+                  "_tree_train_dense_equiv_tokens_per_s_per_chip",
         "value": round(tree_tps, 1),
         "unit": "tokens/s",
         "vs_baseline": round(tree_tps / dense_tps, 3),
