@@ -33,6 +33,12 @@ def main(argv=None):
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--weight-decay", type=float, default=0.0)
     p.add_argument("--grad-clip", type=float, default=1.0)
+    p.add_argument("--grad-accum", type=int, default=1)
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--fsdp", action="store_true",
+                   help="ZeRO-3: shard params/grads/opt state over the data axis")
+    p.add_argument("--fsdp-min-size", type=int, default=1 << 16,
+                   help="per-layer element floor below which a leaf stays replicated")
     p.add_argument("--lb-method", default="LB_by_DFS_and_TM",
                    choices=["LB_by_DFS_and_TM", "LB_by_n_tokens"])
     p.add_argument("--ckpt-dir", default=None)
@@ -51,6 +57,8 @@ def main(argv=None):
     tc = TrainConfig(
         dp=args.dp, tp=args.tp, learning_rate=args.lr,
         weight_decay=args.weight_decay, grad_clip=args.grad_clip,
+        grad_accum=args.grad_accum, warmup_steps=args.warmup_steps,
+        fsdp=args.fsdp, fsdp_min_size=args.fsdp_min_size,
         param_dtype=args.dtype if args.dtype == "bf16" else "fp32",
         lb_method=args.lb_method, lb_block_size=args.block_q,
         ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every,

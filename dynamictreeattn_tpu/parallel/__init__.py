@@ -14,6 +14,9 @@ Replaces the reference's distributed story (SURVEY.md §2.3):
 
 from dynamictreeattn_tpu.parallel.mesh import make_mesh
 from dynamictreeattn_tpu.parallel.train import (
+    fsdp_dims,
+    fsdp_param_specs,
+    init_opt_state,
     make_train_step,
     param_specs,
     shard_params,
@@ -31,6 +34,9 @@ from dynamictreeattn_tpu.parallel.time_model import TreeTimeModel
 __all__ = [
     "make_mesh",
     "make_train_step",
+    "fsdp_dims",
+    "fsdp_param_specs",
+    "init_opt_state",
     "param_specs",
     "shard_params",
     "stack_batches",

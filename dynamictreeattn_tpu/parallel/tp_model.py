@@ -100,10 +100,15 @@ def forward_hidden_tp(
     remat: bool = False,
     remat_policy: str | None = None,
     remat_segments: int = 0,
+    unshard_fn=None,
 ) -> jnp.ndarray:
     """Like models.qwen3.forward_hidden but on tp-sharded local params.
 
-    `attn_fn` receives LOCAL head shards [hq/tp, n, dh]."""
+    `attn_fn` receives LOCAL head shards [hq/tp, n, dh]. `unshard_fn`, if
+    given, maps one layer's param pytree to its full (tp-local) form at the
+    top of the scan body — the FSDP per-layer all-gather; placing it inside
+    the `jax.checkpoint`-wrapped body means the gathered weights are
+    re-gathered (not saved) in the backward, ZeRO-3 style."""
     c = config
     x = _embed_vp(params_local["embed"], tokens, axis)
     x = x.astype(params_local["layers"]["wq"].dtype)
@@ -112,6 +117,8 @@ def forward_hidden_tp(
     body = functools.partial(_layer_tp, config=c, attn_fn=attn_fn, tp=tp, axis=axis)
 
     def scan_fn(carry, lp):
+        if unshard_fn is not None:
+            lp = unshard_fn(lp)
         return body(carry, lp, cos, sin), None
 
     if remat and remat_segments:

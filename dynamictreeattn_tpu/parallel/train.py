@@ -20,7 +20,7 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from dynamictreeattn_tpu.engine.tree_engine import EngineConfig
-from dynamictreeattn_tpu.models.qwen3 import Qwen3Config
+from dynamictreeattn_tpu.models.qwen3 import Qwen3Config, init_params
 from dynamictreeattn_tpu.ops.tree_attention import BlockSizes, tree_attention
 from dynamictreeattn_tpu.ops.tree_attention_ref import tree_attention_reference
 from dynamictreeattn_tpu.parallel.tp_model import forward_hidden_tp, tp_param_shard_info
@@ -30,10 +30,13 @@ from dynamictreeattn_tpu.tries.flatten import _pad_packed
 
 __all__ = [
     "param_specs",
+    "fsdp_dims",
+    "fsdp_param_specs",
     "shard_params",
     "stack_batches",
     "StackedBatch",
     "make_train_step",
+    "init_opt_state",
 ]
 
 
@@ -70,8 +73,79 @@ def param_specs(config: Qwen3Config) -> dict:
     return specs
 
 
-def shard_params(params: dict, mesh, config: Qwen3Config) -> dict:
+FSDP_MIN_SIZE = 1 << 16  # per-layer elems below which a leaf stays replicated
+
+
+def fsdp_dims(config: Qwen3Config, dp: int, min_size: int = FSDP_MIN_SIZE) -> dict:
+    """Which dim of each param shards over "data" (ZeRO-3); -1 = replicated.
+
+    A dim qualifies if the TP spec leaves it free (and it is not the stacked
+    layer dim) and its size divides by dp. Leaves with fewer than `min_size`
+    per-layer elements stay replicated — an all-gather of a tiny norm vector
+    every scan step would be ICI-latency-bound for no memory win. The
+    reference has no FSDP counterpart in-repo; its docstrings assume a host
+    FSDP wrapper (reference: vocab_parallel.py:406-414) — here it is native."""
     specs = param_specs(config)
+    shapes = jax.eval_shape(
+        functools.partial(init_params, config, jax.random.key(0))
+    )
+
+    def pick(path, shape_struct, spec):
+        shape = shape_struct.shape
+        in_layers = any(
+            getattr(k, "key", None) == "layers" for k in path
+        )
+        # only layer stacks + the (big) embed / lm_head participate; other
+        # top-level leaves (final_norm) have no gather site in the forward
+        if not in_layers and getattr(path[0], "key", None) not in (
+            "embed", "lm_head"
+        ):
+            return -1
+        per_layer = int(np.prod(shape)) // (shape[0] if in_layers else 1)
+        if dp == 1 or per_layer < min_size:
+            return -1
+        for d in range(1 if in_layers else 0, len(shape)):
+            if (len(spec) <= d or spec[d] is None) and shape[d] % dp == 0:
+                return d
+        return -1
+
+    return jax.tree_util.tree_map_with_path(
+        pick, shapes, specs, is_leaf=lambda x: isinstance(x, P)
+    )
+
+
+def _with_data_axis(spec: P, dim: int) -> P:
+    if dim < 0:
+        return spec
+    parts = list(spec) + [None] * (dim + 1 - len(spec))
+    assert parts[dim] is None, (spec, dim)
+    parts[dim] = "data"
+    return P(*parts)
+
+
+def fsdp_param_specs(
+    config: Qwen3Config, dp: int, min_size: int = FSDP_MIN_SIZE
+) -> dict:
+    """param_specs with "data" added on each leaf's fsdp dim (ZeRO-3 layout)."""
+    return jax.tree.map(
+        _with_data_axis,
+        param_specs(config),
+        fsdp_dims(config, dp, min_size),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(
+    params: dict,
+    mesh,
+    config: Qwen3Config,
+    fsdp: bool = False,
+    fsdp_min_size: int = FSDP_MIN_SIZE,
+) -> dict:
+    if fsdp:
+        specs = fsdp_param_specs(config, mesh.shape["data"], fsdp_min_size)
+    else:
+        specs = param_specs(config)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params,
@@ -126,22 +200,58 @@ def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1)).bit_length()
 
 
+def init_opt_state(optimizer, params):
+    """optimizer.init with each params-shaped leaf placed on the matching
+    param's sharding (a bare jit of init constant-folds the zeros and can
+    leave them replicated/single-device). Leaves whose tree path doesn't end
+    in a param path (step counts, schedules) are left untouched."""
+    state = optimizer.init(params)
+    suffix_map = {
+        tuple(str(k) for k in path): leaf.sharding
+        for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]
+        if hasattr(leaf, "sharding")
+    }
+
+    def place(path, leaf):
+        key = tuple(str(k) for k in path)
+        for i in range(len(key)):
+            if key[i:] in suffix_map:
+                return jax.device_put(leaf, suffix_map[key[i:]])
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(place, state)
+
+
 def make_train_step(
     model_config: Qwen3Config,
     mesh,
     engine_config: EngineConfig = EngineConfig(),
     optimizer=None,
+    fsdp: bool = False,
+    fsdp_min_size: int = FSDP_MIN_SIZE,
 ):
     """Build the jitted sharded step.
 
     Without `optimizer`: step(params, batch_arrays) -> (loss, grads, aux).
     With an optax `optimizer`: step(params, opt_state, batch_arrays) ->
     (params, opt_state, loss, aux).
+
+    With `fsdp=True`, params (and therefore grads / optimizer state) live
+    ZeRO-3-sharded over "data": each layer is all-gathered inside the remat'd
+    scan body (re-gathered in backward), and the all_gather transpose yields
+    reduce-scattered gradients — no separate grad psum for fsdp leaves.
     """
     mc, ec = model_config, engine_config
     tp = mesh.shape["model"]
+    dp = mesh.shape["data"]
     tp_param_shard_info(mc, tp)  # validate divisibility
-    pspecs = param_specs(mc)
+    fsdp = fsdp and dp > 1
+    if fsdp:
+        dims = fsdp_dims(mc, dp, fsdp_min_size)
+        pspecs = fsdp_param_specs(mc, dp, fsdp_min_size)
+    else:
+        dims = None
+        pspecs = param_specs(mc)
     bspec = {f: P("data", None) for f in _BATCH_FIELDS}
     bspec["kv_counts"] = bspec["q_counts"] = P("data", None)
     for f in ("kv_ids", "kv_types", "q_ids", "q_types"):
@@ -164,11 +274,38 @@ def make_train_step(
                 q, k, v, last_desc, *meta, block_sizes=bs, interpret=ec.interpret
             )
 
+        if fsdp:
+            layer_dims = dims["layers"]
+
+            def unshard_layer(lp):
+                # per-layer leaf lost the stacked L dim → gather axis = d - 1
+                return jax.tree.map(
+                    lambda a, d: a if d < 0 else jax.lax.all_gather(
+                        a, "data", axis=d - 1, tiled=True
+                    ),
+                    lp, layer_dims,
+                )
+        else:
+            unshard_layer = None
+
         def loss_fn(p):
+            if fsdp:
+                # embed / lm_head gathered once per step (their transpose is a
+                # psum_scatter of the grad — the ZeRO reduce-scatter)
+                p = dict(p)
+                if dims["embed"] >= 0:
+                    p["embed"] = jax.lax.all_gather(
+                        p["embed"], "data", axis=dims["embed"], tiled=True
+                    )
+                if "lm_head" in p and dims["lm_head"] >= 0:
+                    p["lm_head"] = jax.lax.all_gather(
+                        p["lm_head"], "data", axis=dims["lm_head"], tiled=True
+                    )
             h = forward_hidden_tp(
                 p, mc, tokens, depth, attn_fn, tp=tp, remat=ec.remat,
                 remat_policy=ec.remat_policy,
                 remat_segments=ec.remat_segments,
+                unshard_fn=unshard_layer,
             )
             w_local = p["embed"].T if mc.tie_word_embeddings else p["lm_head"]
             return vp_tree_loss_from_hidden(
@@ -184,7 +321,15 @@ def make_train_step(
         if mc.use_qk_norm:
             for nrm in ("q_norm", "k_norm"):
                 grads["layers"][nrm] = jax.lax.psum(grads["layers"][nrm], "model")
-        grads = jax.tree.map(lambda g: jax.lax.psum(g, "data"), grads)
+        if fsdp:
+            # fsdp'd leaves already arrive reduce-scattered over "data" (the
+            # all_gather transpose); only replicated leaves still need the psum
+            grads = jax.tree.map(
+                lambda g, d: g if d >= 0 else jax.lax.psum(g, "data"),
+                grads, dims,
+            )
+        else:
+            grads = jax.tree.map(lambda g: jax.lax.psum(g, "data"), grads)
         loss = jax.lax.psum(loss, "data")
         aux = jax.tree.map(lambda a: jax.lax.psum(a, "data"), aux)
         return loss, grads, aux

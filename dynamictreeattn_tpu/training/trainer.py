@@ -22,6 +22,7 @@ from dynamictreeattn_tpu.parallel import (
     LB_by_DFS_and_TM,
     LB_by_n_tokens,
     TreeTimeModel,
+    init_opt_state,
     make_mesh,
     make_train_step,
     shard_params,
@@ -41,6 +42,8 @@ class TrainConfig:
     weight_decay: float = 0.0
     grad_clip: float = 1.0
     grad_accum: int = 1  # optax.MultiSteps microbatch accumulation
+    fsdp: bool = False  # ZeRO-3 param/grad/opt-state sharding over "data"
+    fsdp_min_size: int = 1 << 16  # leave smaller per-layer leaves replicated
     param_dtype: str = "bf16"
     lb_method: str = "LB_by_DFS_and_TM"  # or "LB_by_n_tokens"
     lb_block_size: int = 2048
@@ -82,7 +85,8 @@ class Trainer:
             opt = optax.MultiSteps(opt, every_k_schedule=train_config.grad_accum)
         self.optimizer = opt
         self._step_fn = make_train_step(
-            self.mc, self.mesh, self.ec, optimizer=self.optimizer
+            self.mc, self.mesh, self.ec, optimizer=self.optimizer,
+            fsdp=train_config.fsdp, fsdp_min_size=train_config.fsdp_min_size,
         )
         self.params = None
         self.opt_state = None
@@ -98,12 +102,14 @@ class Trainer:
 
         dtype = jnp.bfloat16 if self.tc.param_dtype == "bf16" else jnp.float32
         params = init_params(self.mc, jax.random.key(seed), dtype=dtype)
-        self.params = shard_params(params, self.mesh, self.mc)
-        self.opt_state = jax.jit(self.optimizer.init)(self.params)
+        self.set_params(params)
 
     def set_params(self, params) -> None:
-        self.params = shard_params(params, self.mesh, self.mc)
-        self.opt_state = jax.jit(self.optimizer.init)(self.params)
+        self.params = shard_params(
+            params, self.mesh, self.mc, fsdp=self.tc.fsdp,
+            fsdp_min_size=self.tc.fsdp_min_size,
+        )
+        self.opt_state = init_opt_state(self.optimizer, self.params)
 
     def save(self, extra: dict | None = None) -> None:
         assert self._ckpt, "no ckpt_dir configured"

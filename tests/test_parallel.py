@@ -15,6 +15,7 @@ from dynamictreeattn_tpu.parallel import (
     LB_by_TM,
     TreeTimeModel,
     eval_bins,
+    init_opt_state,
     make_mesh,
     make_train_step,
     shard_params,
@@ -90,6 +91,56 @@ def test_optimizer_step_runs_sharded():
     p1, opt_state, loss1, _ = step(sharded, opt_state, batch.arrays)
     p2, opt_state, loss2, _ = step(p1, opt_state, batch.arrays)
     assert float(loss2) < float(loss1)  # loss decreases on same batch
+
+
+@pytest.mark.parametrize("dp,tp", [(2, 2), (4, 2), (4, 1)])
+def test_fsdp_step_matches_replicated(dp, tp):
+    """ZeRO-3 sharded step == replicated-param step (loss + full grads)."""
+    tries, _ = _tries(dp, seed=7)
+    mesh = make_mesh(dp=dp, tp=tp)
+    params = init_params(TINY, jax.random.key(0), dtype=jnp.float32)
+    # remat on so the per-layer all-gather sits inside jax.checkpoint
+    ecfg = EngineConfig(
+        block_q=32, block_kv=32, remat=True, attn_backend="reference",
+        loss_chunk=32,
+    )
+    batch = stack_batches(tries, ecfg)
+
+    base = make_train_step(TINY, mesh, ecfg)
+    loss0, grads0, _ = base(shard_params(params, mesh, TINY), batch.arrays)
+
+    fsharded = shard_params(params, mesh, TINY, fsdp=True, fsdp_min_size=1)
+    # params must actually be sharded over "data"
+    spec = fsharded["layers"]["wq"].sharding.spec
+    assert any("data" in (p if isinstance(p, tuple) else (p,)) for p in spec if p)
+    fstep = make_train_step(TINY, mesh, ecfg, fsdp=True, fsdp_min_size=1)
+    loss1, grads1, _ = fstep(fsharded, batch.arrays)
+
+    np.testing.assert_allclose(float(loss1), float(loss0), rtol=1e-5)
+    rows = compare_grads(jax.device_get(grads0), jax.device_get(grads1))
+    assert rows[0][1] < 1e-5, rows[0]
+
+
+def test_fsdp_optimizer_state_is_sharded():
+    import optax
+
+    dp, tp = 4, 2
+    tries, _ = _tries(dp, seed=11)
+    mesh = make_mesh(dp=dp, tp=tp)
+    params = init_params(TINY, jax.random.key(1), dtype=jnp.float32)
+    fsharded = shard_params(params, mesh, TINY, fsdp=True, fsdp_min_size=1)
+    opt = optax.adamw(1e-3)
+    opt_state = init_opt_state(opt, fsharded)
+    # adam moments inherit the ZeRO param sharding (ZeRO-1 for free)
+    mu_wq = opt_state[0].mu["layers"]["wq"]
+    assert "data" in jax.tree_util.tree_leaves(
+        [p for p in mu_wq.sharding.spec if p is not None]
+    )
+    step = make_train_step(TINY, mesh, ECFG, optimizer=opt, fsdp=True, fsdp_min_size=1)
+    batch = stack_batches(tries, ECFG)
+    p1, opt_state, loss1, _ = step(fsharded, opt_state, batch.arrays)
+    p2, opt_state, loss2, _ = step(p1, opt_state, batch.arrays)
+    assert float(loss2) < float(loss1)
 
 
 def test_time_model_nnls_recovers_linear_cost():
