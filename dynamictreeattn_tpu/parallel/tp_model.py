@@ -55,12 +55,16 @@ def _embed_vp(embed_local, tokens, axis):
     return mpar_out(x, axis)
 
 
-def _layer_tp(x, lp, cos, sin, config: Qwen3Config, attn_fn, tp: int, axis: str):
+def _layer_tp(
+    x, lp, cos, sin, config: Qwen3Config, attn_fn, tp: int, axis: str,
+    sp: int = 1, seq_axis: str = "seq",
+):
     c = config
     n = x.shape[0]
     dh = c.head_dim
     hq_l = c.num_attention_heads // tp
     hkv_l = c.num_key_value_heads // tp
+    grp = hq_l // hkv_l
     eps = c.rms_norm_eps
 
     h = mpar_in(rms_norm(x, lp["ln1"], eps), axis)
@@ -79,8 +83,28 @@ def _layer_tp(x, lp, cos, sin, config: Qwen3Config, attn_fn, tp: int, axis: str)
         k = rms_norm(k, lp["k_norm"], eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    o = attn_fn(q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2))
-    o = o.transpose(1, 0, 2).reshape(n, hq_l * dh)
+    if sp > 1:
+        # Ulysses: all-to-all trades the seq shard for a kv-head shard, so the
+        # tree-attention kernel sees the FULL packed sequence (global
+        # positions, same block metadata on every seq rank) on hkv_l/sp kv
+        # heads. GQA q-head groups ride with their kv head (split on the
+        # hkv axis), keeping attention comm-free across "model" AND exact.
+        q = q.reshape(n, hkv_l, grp, dh)
+        q = jax.lax.all_to_all(q, seq_axis, split_axis=1, concat_axis=0, tiled=True)
+        k = jax.lax.all_to_all(k, seq_axis, split_axis=1, concat_axis=0, tiled=True)
+        v = jax.lax.all_to_all(v, seq_axis, split_axis=1, concat_axis=0, tiled=True)
+        n_full = n * sp
+        o = attn_fn(
+            q.reshape(n_full, (hkv_l // sp) * grp, dh).transpose(1, 0, 2),
+            k.transpose(1, 0, 2),
+            v.transpose(1, 0, 2),
+        )
+        o = o.transpose(1, 0, 2).reshape(n_full, hkv_l // sp, grp, dh)
+        o = jax.lax.all_to_all(o, seq_axis, split_axis=0, concat_axis=1, tiled=True)
+        o = o.reshape(n, hq_l * dh)
+    else:
+        o = attn_fn(q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2))
+        o = o.transpose(1, 0, 2).reshape(n, hq_l * dh)
     x = x + mpar_out(o @ lp["wo"], axis)
 
     h = mpar_in(rms_norm(x, lp["ln2"], eps), axis)
@@ -101,6 +125,8 @@ def forward_hidden_tp(
     remat_policy: str | None = None,
     remat_segments: int = 0,
     unshard_fn=None,
+    sp: int = 1,
+    seq_axis: str = "seq",
 ) -> jnp.ndarray:
     """Like models.qwen3.forward_hidden but on tp-sharded local params.
 
@@ -108,13 +134,21 @@ def forward_hidden_tp(
     given, maps one layer's param pytree to its full (tp-local) form at the
     top of the scan body — the FSDP per-layer all-gather; placing it inside
     the `jax.checkpoint`-wrapped body means the gathered weights are
-    re-gathered (not saved) in the backward, ZeRO-3 style."""
+    re-gathered (not saved) in the backward, ZeRO-3 style.
+
+    With `sp > 1`, `tokens`/`positions` are this seq rank's LOCAL slice of
+    the packed trie; attention internally all-to-alls to full-sequence /
+    sharded-kv-head form (Ulysses), and `attn_fn` receives full-length
+    arrays with hq/(tp·sp) heads."""
     c = config
     x = _embed_vp(params_local["embed"], tokens, axis)
     x = x.astype(params_local["layers"]["wq"].dtype)
     cos, sin = rope_tables(positions, c.head_dim, c.rope_theta)
 
-    body = functools.partial(_layer_tp, config=c, attn_fn=attn_fn, tp=tp, axis=axis)
+    body = functools.partial(
+        _layer_tp, config=c, attn_fn=attn_fn, tp=tp, axis=axis, sp=sp,
+        seq_axis=seq_axis,
+    )
 
     def scan_fn(carry, lp):
         if unshard_fn is not None:

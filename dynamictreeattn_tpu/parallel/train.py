@@ -24,7 +24,10 @@ from dynamictreeattn_tpu.models.qwen3 import Qwen3Config, init_params
 from dynamictreeattn_tpu.ops.tree_attention import BlockSizes, tree_attention
 from dynamictreeattn_tpu.ops.tree_attention_ref import tree_attention_reference
 from dynamictreeattn_tpu.parallel.tp_model import forward_hidden_tp, tp_param_shard_info
-from dynamictreeattn_tpu.parallel.vocab_parallel import vp_tree_loss_from_hidden
+from dynamictreeattn_tpu.parallel.vocab_parallel import (
+    vp_tree_loss_edges,
+    vp_tree_loss_from_hidden,
+)
 from dynamictreeattn_tpu.tries import TokenTrie, build_block_meta, flatten_trie
 from dynamictreeattn_tpu.tries.flatten import _pad_packed
 
@@ -170,13 +173,21 @@ _BATCH_FIELDS = ("tokens", "depth", "parent", "last_desc", "w_logprob", "w_entro
 _META_FIELDS = ("kv_ids", "kv_counts", "kv_types", "q_ids", "q_counts", "q_types")
 
 
-def stack_batches(tries_or_packed: list, cfg: EngineConfig) -> StackedBatch:
+def stack_batches(
+    tries_or_packed: list, cfg: EngineConfig, sp: int = 1
+) -> StackedBatch:
     """Flatten+pad each rank's trie to a COMMON bucket and common metadata slot
-    widths, then stack on the leading "data" axis."""
+    widths, then stack on the leading "data" axis.
+
+    With `sp > 1`, also emits parent-owned edge arrays
+    edge_parent/edge_token/edge_w of shape [dp, sp, E] for the
+    sequence-parallel loss (vp_tree_loss_edges)."""
     packeds = [
         flatten_trie(t) if isinstance(t, TokenTrie) else t for t in tries_or_packed
     ]
     n_pad = cfg.bucket_length(max(p.n_padded for p in packeds))
+    while n_pad % sp:  # seq shards need equal slices (buckets are
+        n_pad = cfg.bucket_length(n_pad + 1)  # block-multiples, so ≤1 extra rung)
     packeds = [_pad_packed(p, n_pad) if p.n_padded != n_pad else p for p in packeds]
 
     metas = [build_block_meta(p.last_desc, cfg.block_q, cfg.block_kv) for p in packeds]
@@ -192,8 +203,44 @@ def stack_batches(tries_or_packed: list, cfg: EngineConfig) -> StackedBatch:
     arrays = {f: np.stack([getattr(p, f) for p in packeds]) for f in _BATCH_FIELDS}
     for f in _META_FIELDS:
         arrays[f] = np.stack([getattr(me, f) for me in metas]).astype(np.int32)
+    if sp > 1:
+        arrays.update(_edge_arrays(packeds, sp, n_pad))
     return StackedBatch(arrays={k: jnp.asarray(v) for k, v in arrays.items()},
                         packeds=packeds)
+
+
+def _edge_arrays(packeds: list, sp: int, n_pad: int) -> dict:
+    """Parent-owned edge triples per (data rank, seq rank), common-padded.
+
+    Edge j (child position) is owned by the seq rank holding parent[j];
+    padding slots carry weight 0 and index 0 (always in-range)."""
+    n_loc = n_pad // sp
+    rows = []  # [dp][sp] -> (par_local, tok, w)
+    width = 1
+    for p in packeds:
+        j = np.nonzero((p.parent >= 0) & (p.w_logprob != 0))[0]
+        par = p.parent[j]
+        owner = par // n_loc
+        per_rank = []
+        for s in range(sp):
+            m = owner == s
+            per_rank.append(
+                (par[m] - s * n_loc, p.tokens[j[m]], p.w_logprob[j[m]])
+            )
+            width = max(width, int(m.sum()))
+        rows.append(per_rank)
+    width = _next_pow2(width)
+    dp = len(packeds)
+    e_par = np.zeros((dp, sp, width), np.int32)
+    e_tok = np.zeros((dp, sp, width), np.int32)
+    e_w = np.zeros((dp, sp, width), np.float32)
+    for r, per_rank in enumerate(rows):
+        for s, (pl, tk, w) in enumerate(per_rank):
+            c = len(pl)
+            e_par[r, s, :c] = pl
+            e_tok[r, s, :c] = tk
+            e_w[r, s, :c] = w
+    return {"edge_parent": e_par, "edge_token": e_tok, "edge_w": e_w}
 
 
 def _next_pow2(x: int) -> int:
@@ -244,7 +291,14 @@ def make_train_step(
     mc, ec = model_config, engine_config
     tp = mesh.shape["model"]
     dp = mesh.shape["data"]
+    sp = mesh.shape.get("seq", 1)
     tp_param_shard_info(mc, tp)  # validate divisibility
+    if sp > 1 and (mc.num_key_value_heads // tp) % sp:
+        raise ValueError(
+            f"seq parallel sp={sp} must divide local kv heads "
+            f"{mc.num_key_value_heads // tp} (= {mc.num_key_value_heads} kv "
+            f"heads / tp={tp})"
+        )
     fsdp = fsdp and dp > 1
     if fsdp:
         dims = fsdp_dims(mc, dp, fsdp_min_size)
@@ -256,6 +310,9 @@ def make_train_step(
     bspec["kv_counts"] = bspec["q_counts"] = P("data", None)
     for f in ("kv_ids", "kv_types", "q_ids", "q_types"):
         bspec[f] = P("data", None, None)
+    if sp > 1:
+        for f in ("edge_parent", "edge_token", "edge_w"):
+            bspec[f] = P("data", "seq", None)
 
     def local_loss_and_grad(params, batch):
         tokens = batch["tokens"][0]
@@ -288,6 +345,18 @@ def make_train_step(
         else:
             unshard_layer = None
 
+        if sp > 1:
+            r = jax.lax.axis_index("seq")
+            n_loc = tokens.shape[0] // sp
+            tok_in = jax.lax.dynamic_slice_in_dim(tokens, r * n_loc, n_loc)
+            dep_in = jax.lax.dynamic_slice_in_dim(depth, r * n_loc, n_loc)
+            w_ent_loc = jax.lax.dynamic_slice_in_dim(w_ent, r * n_loc, n_loc)
+            e_par = batch["edge_parent"][0, 0]
+            e_tok = batch["edge_token"][0, 0]
+            e_w = batch["edge_w"][0, 0]
+        else:
+            tok_in, dep_in = tokens, depth
+
         def loss_fn(p):
             if fsdp:
                 # embed / lm_head gathered once per step (their transpose is a
@@ -302,18 +371,31 @@ def make_train_step(
                         p["lm_head"], "data", axis=dims["lm_head"], tiled=True
                     )
             h = forward_hidden_tp(
-                p, mc, tokens, depth, attn_fn, tp=tp, remat=ec.remat,
+                p, mc, tok_in, dep_in, attn_fn, tp=tp, remat=ec.remat,
                 remat_policy=ec.remat_policy,
                 remat_segments=ec.remat_segments,
                 unshard_fn=unshard_layer,
+                sp=sp,
             )
             w_local = p["embed"].T if mc.tie_word_embeddings else p["lm_head"]
+            if sp > 1:
+                return vp_tree_loss_edges(
+                    h, w_local, e_par, e_tok, e_w, w_ent_loc,
+                    ec.temperature, ec.loss_chunk,
+                )
             return vp_tree_loss_from_hidden(
                 h, w_local, tokens, parent, w_lp, w_ent,
                 ec.temperature, ec.loss_chunk,
             )
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if sp > 1:
+            # every param is used by every seq shard on its local rows:
+            # shard grads are partial sums over the sequence → psum("seq");
+            # same for the shard-partial loss/aux
+            grads = jax.tree.map(lambda g: jax.lax.psum(g, "seq"), grads)
+            loss = jax.lax.psum(loss, "seq")
+            aux = jax.tree.map(lambda a: jax.lax.psum(a, "seq"), aux)
         # q_norm/k_norm are replicated params used inside rank-local head
         # compute: each model rank holds a partial grad (its heads only).
         # Every other replicated param's grad is already full thanks to the

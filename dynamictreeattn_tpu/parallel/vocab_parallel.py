@@ -26,7 +26,12 @@ import jax.numpy as jnp
 
 from dynamictreeattn_tpu.parallel.collectives import const_pmax, mpar_out
 
-__all__ = ["vp_position_stats", "vp_label_logits", "vp_tree_loss_from_hidden"]
+__all__ = [
+    "vp_position_stats",
+    "vp_label_logits",
+    "vp_tree_loss_from_hidden",
+    "vp_tree_loss_edges",
+]
 
 
 def _vp_chunk_stats(h_chunk, w_local, inv_temp, axis):
@@ -96,5 +101,40 @@ def vp_tree_loss_from_hidden(
     lp_edge = jnp.where(parent >= 0, lp_edge, 0.0)
     sum_lp = jnp.sum(w_logprob * lp_edge)
     sum_ent = jnp.sum(w_entropy * entropy)
+    loss = sum_lp + sum_ent
+    return loss, {"sum_logprob": sum_lp, "sum_entropy": sum_ent}
+
+
+def vp_tree_loss_edges(
+    hidden_local,  # [n_loc, d] — this seq rank's hidden rows
+    w_local,  # [d, V/tp]
+    edge_parent,  # [E] int32 — LOCAL parent position of each owned edge
+    edge_token,  # [E] int32 — global child token id
+    edge_w,  # [E] f32 — edge logprob weight (0 = padding slot)
+    w_entropy_local,  # [n_loc] f32
+    temperature: float = 1.0,
+    chunk_size: int = 1024,
+    axis: str = "model",
+):
+    """Sequence-parallel (parent-owned) edge formulation of the trie loss.
+
+    Under sequence parallelism the child position of an edge can live on a
+    different seq rank than its parent, but the edge logprob
+    ``logit[parent, token[child]] − lse[parent]`` only reads PARENT-side
+    activations — the child contributes just its (replicated, host-known)
+    token id. So each seq rank sums the edges whose parent it owns, from
+    host-precomputed (parent_local, token, weight) triples, and the shard
+    partial losses psum over "seq" in the train step. No cross-shard hidden
+    gather ever happens. (The reference's counterpart is the prefix-grad
+    accumulation across its KV stack, reference:
+    tree_training_engine.py:443-465 — here it's an indexing scheme.)"""
+    lse, entropy = vp_position_stats(
+        hidden_local, w_local, temperature, chunk_size, axis
+    )
+    h_par = jnp.take(hidden_local, edge_parent, axis=0)  # [E, d]
+    label_logit = vp_label_logits(h_par, edge_token, w_local, temperature, axis)
+    lp_edge = label_logit - jnp.take(lse, edge_parent)
+    sum_lp = jnp.sum(edge_w * lp_edge)
+    sum_ent = jnp.sum(w_entropy_local * entropy)
     loss = sum_lp + sum_ent
     return loss, {"sum_logprob": sum_lp, "sum_entropy": sum_ent}

@@ -37,6 +37,7 @@ __all__ = ["TrainConfig", "Trainer"]
 class TrainConfig:
     dp: int = 1
     tp: int = 1
+    sp: int = 1  # Ulysses sequence parallelism over the "seq" axis
     learning_rate: float = 1e-5
     warmup_steps: int = 0  # linear warmup into a constant schedule
     weight_decay: float = 0.0
@@ -66,7 +67,9 @@ class Trainer:
         self.mc = model_config
         self.ec = engine_config
         self.tc = train_config
-        self.mesh = mesh or make_mesh(dp=train_config.dp, tp=train_config.tp)
+        self.mesh = mesh or make_mesh(
+            dp=train_config.dp, tp=train_config.tp, sp=train_config.sp
+        )
         self.time_model = TreeTimeModel()
         self.step_idx = 0
         self.history: list[dict] = []
@@ -156,7 +159,7 @@ class Trainer:
     def train_step(self, seqs, attachs) -> dict:
         assert self.params is not None, "call init()/restore() first"
         tries = self.partition(seqs, attachs)
-        batch = stack_batches(tries, self.ec)
+        batch = stack_batches(tries, self.ec, sp=self.mesh.shape.get("seq", 1))
         t0 = time.time()
         new_params, new_opt, loss, aux = self._step_fn(
             self.params, self.opt_state, batch.arrays

@@ -93,6 +93,67 @@ def test_optimizer_step_runs_sharded():
     assert float(loss2) < float(loss1)  # loss decreases on same batch
 
 
+# enough kv heads that sp×tp can split them (Ulysses shards kv heads)
+TINY4 = Qwen3Config(
+    vocab_size=128, hidden_size=64, intermediate_size=96,
+    num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+    head_dim=16, tie_word_embeddings=True,
+)
+
+
+@pytest.mark.parametrize("dp,sp,tp", [(1, 2, 1), (1, 2, 2), (2, 2, 2)])
+def test_seq_parallel_step_matches_single_device(dp, sp, tp):
+    """Ulysses SP: loss + grads == single-device oracle on the same tries."""
+    rng = np.random.default_rng(13)
+    tries = []
+    for _ in range(dp):
+        seqs, attachs = random_trie_batch(
+            rng, n_seqs=6, vocab=TINY4.vocab_size, max_len=24
+        )
+        tries.append(TokenTrie(seqs, attachs))
+    mesh = make_mesh(dp=dp, tp=tp, sp=sp)
+    params = init_params(TINY4, jax.random.key(0), dtype=jnp.float32)
+    step = make_train_step(TINY4, mesh, ECFG)
+    batch = stack_batches(tries, ECFG, sp=sp)
+    loss, grads, aux = step(shard_params(params, mesh, TINY4), batch.arrays)
+
+    engine = TreeEngine(TINY4, ECFG)
+    total_loss, total_grads = 0.0, None
+    for t in tries:
+        l, g, _ = engine.loss_and_grad(params, engine.prepare(t))
+        total_loss += float(l)
+        total_grads = g if total_grads is None else jax.tree.map(
+            jnp.add, total_grads, g
+        )
+    np.testing.assert_allclose(float(loss), total_loss, rtol=1e-4)
+    rows = compare_grads(total_grads, jax.device_get(grads))
+    assert rows[0][1] < 1e-3, rows[0]
+
+
+def test_seq_parallel_with_fsdp():
+    """SP × FSDP × TP compose: 2×2×2 mesh step matches the replicated step."""
+    rng = np.random.default_rng(17)
+    tries = []
+    for _ in range(2):
+        seqs, attachs = random_trie_batch(
+            rng, n_seqs=6, vocab=TINY4.vocab_size, max_len=24
+        )
+        tries.append(TokenTrie(seqs, attachs))
+    mesh = make_mesh(dp=2, tp=2, sp=2)
+    params = init_params(TINY4, jax.random.key(0), dtype=jnp.float32)
+    batch = stack_batches(tries, ECFG, sp=2)
+
+    base = make_train_step(TINY4, mesh, ECFG)
+    loss0, grads0, _ = base(shard_params(params, mesh, TINY4), batch.arrays)
+
+    fstep = make_train_step(TINY4, mesh, ECFG, fsdp=True, fsdp_min_size=1)
+    fsharded = shard_params(params, mesh, TINY4, fsdp=True, fsdp_min_size=1)
+    loss1, grads1, _ = fstep(fsharded, batch.arrays)
+    np.testing.assert_allclose(float(loss1), float(loss0), rtol=1e-5)
+    rows = compare_grads(jax.device_get(grads0), jax.device_get(grads1))
+    assert rows[0][1] < 1e-5, rows[0]
+
+
 @pytest.mark.parametrize("dp,tp", [(2, 2), (4, 2), (4, 1)])
 def test_fsdp_step_matches_replicated(dp, tp):
     """ZeRO-3 sharded step == replicated-param step (loss + full grads)."""
