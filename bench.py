@@ -52,7 +52,11 @@ def main():
     blk = int(os.environ.get("DTA_BENCH_BLOCK", "512"))
     bkv = int(os.environ.get("DTA_BENCH_BKV", str(blk)))
     chunk = int(os.environ.get("DTA_BENCH_CHUNK", "1024"))
-    ec = EngineConfig(block_q=blk, block_kv=bkv, remat=True, attn_backend="pallas",
+    remat = os.environ.get("DTA_BENCH_REMAT", "1") != "0"
+    policy = os.environ.get("DTA_BENCH_REMAT_POLICY") or None
+    segments = int(os.environ.get("DTA_BENCH_SEGMENTS", "0"))
+    ec = EngineConfig(block_q=blk, block_kv=bkv, remat=remat, attn_backend="pallas",
+                      remat_policy=policy, remat_segments=segments,
                       loss_chunk=chunk,
                       bucketing="exact")  # fixed workload: measure the engine, not padding
 

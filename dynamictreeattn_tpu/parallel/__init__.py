@@ -22,6 +22,12 @@ from dynamictreeattn_tpu.parallel.train import (
     shard_params,
     stack_batches,
 )
+from dynamictreeattn_tpu.parallel.pipeline import (
+    make_pp_train_step,
+    pp_param_specs,
+    shard_params_pp,
+    stack_microbatches,
+)
 from dynamictreeattn_tpu.parallel.load_balance import (
     LB_by_n_tokens,
     LB_by_TM,
@@ -37,6 +43,10 @@ __all__ = [
     "fsdp_dims",
     "fsdp_param_specs",
     "init_opt_state",
+    "make_pp_train_step",
+    "pp_param_specs",
+    "shard_params_pp",
+    "stack_microbatches",
     "param_specs",
     "shard_params",
     "stack_batches",

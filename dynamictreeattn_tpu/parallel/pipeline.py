@@ -1,0 +1,252 @@
+"""GPipe pipeline parallelism over the "pipe" mesh axis.
+
+Beyond-reference capability (the reference has no pipeline parallelism,
+SURVEY.md §2.3): the layer stack is split into `pp` contiguous stages
+(layers stay stacked [L, ...] and shard over "pipe" on the L axis), a batch
+of M packed tries per data rank is streamed through as microbatches, and
+activations hop stage→stage with `lax.ppermute` inside a `lax.scan` over the
+M + pp − 1 schedule ticks. `jax.grad` through the scan transposes the
+ppermutes into the reverse hops — the backward pipeline needs no hand-written
+schedule.
+
+Composition: works with tensor parallelism over "model" (each stage row has
+its own TP group; the vocab-parallel embed/loss collectives run on every
+stage and are masked after the fact) and data parallelism over "data"
+(gradient psum). Sequence parallelism is mutually exclusive with pipelining
+for now (both re-slice the token axis).
+
+Numerical notes: bubble ticks process zero activations — rms_norm(0) = 0 and
+the tree mask always admits the diagonal, so bubbles stay finite and their
+loss contribution is masked to exactly 0 (no NaN·0 hazards).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dynamictreeattn_tpu.engine.tree_engine import EngineConfig
+from dynamictreeattn_tpu.models.qwen3 import Qwen3Config, rms_norm, rope_tables
+from dynamictreeattn_tpu.ops.tree_attention import BlockSizes, tree_attention
+from dynamictreeattn_tpu.ops.tree_attention_ref import tree_attention_reference
+from dynamictreeattn_tpu.parallel.collectives import mpar_in
+from dynamictreeattn_tpu.parallel.tp_model import _embed_vp, _layer_tp
+from dynamictreeattn_tpu.parallel.train import (
+    _BATCH_FIELDS,
+    _META_FIELDS,
+    param_specs,
+    stack_batches,
+)
+from dynamictreeattn_tpu.parallel.vocab_parallel import vp_tree_loss_from_hidden
+from dynamictreeattn_tpu.tries import TokenTrie
+
+__all__ = ["pp_param_specs", "shard_params_pp", "stack_microbatches",
+           "make_pp_train_step"]
+
+
+def pp_param_specs(config: Qwen3Config, pp: int) -> dict:
+    """param_specs with every stacked layer leaf sharded over "pipe" on the
+    layer axis — stage s holds layers [s·L/pp, (s+1)·L/pp)."""
+    if config.num_hidden_layers % pp:
+        raise ValueError(
+            f"{config.num_hidden_layers} layers not divisible by pp={pp}"
+        )
+    specs = param_specs(config)
+    specs["layers"] = {
+        k: P(*(("pipe",) + tuple(s)[1:])) for k, s in specs["layers"].items()
+    }
+    return specs
+
+
+def shard_params_pp(params: dict, mesh, config: Qwen3Config) -> dict:
+    specs = pp_param_specs(config, mesh.shape["pipe"])
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs, is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def stack_microbatches(
+    tries: list[list[TokenTrie]], cfg: EngineConfig
+) -> "StackedMicrobatch":
+    """[dp][M] tries → arrays with leading (dp, M) axes, one common bucket and
+    common metadata widths across ALL microbatches (one compiled schedule)."""
+    dp = len(tries)
+    M = len(tries[0])
+    if any(len(row) != M for row in tries):
+        raise ValueError("every data rank needs the same microbatch count")
+    flat = stack_batches([t for row in tries for t in row], cfg)
+    arrays = {
+        k: v.reshape(dp, M, *v.shape[1:]) for k, v in flat.arrays.items()
+    }
+    return StackedMicrobatch(arrays=arrays, packeds=flat.packeds, dp=dp, M=M)
+
+
+class StackedMicrobatch:
+    def __init__(self, arrays, packeds, dp, M):
+        self.arrays = arrays
+        self.packeds = packeds
+        self.dp = dp
+        self.M = M
+
+
+def make_pp_train_step(
+    model_config: Qwen3Config,
+    mesh,
+    engine_config: EngineConfig = EngineConfig(),
+    optimizer=None,
+):
+    """Build the jitted pipelined step.
+
+    Without `optimizer`: step(params, batch_arrays) -> (loss, grads, aux).
+    With one: step(params, opt_state, batch_arrays) ->
+    (params, opt_state, loss, aux). `batch_arrays` comes from
+    `stack_microbatches` ([dp, M, ...] leaves).
+    """
+    mc, ec = model_config, engine_config
+    pp = mesh.shape["pipe"]
+    tp = mesh.shape["model"]
+    if mesh.shape.get("seq", 1) > 1:
+        raise ValueError("pipeline and sequence parallelism are exclusive")
+    pspecs = pp_param_specs(mc, pp)
+    bspec = {f: P("data", None, None) for f in _BATCH_FIELDS}
+    bspec["kv_counts"] = bspec["q_counts"] = P("data", None, None)
+    for f in ("kv_ids", "kv_types", "q_ids", "q_types"):
+        bspec[f] = P("data", None, None, None)
+
+    perm = [(i, (i + 1) % pp) for i in range(pp)]
+
+    def local_step(params, batch):
+        stage = jax.lax.axis_index("pipe")
+        toks = batch["tokens"][0]  # [M, n]
+        M, n = toks.shape
+
+        def loss_fn(p):
+            dtype = p["layers"]["wq"].dtype
+
+            def mb_field(name, t):
+                mb = jnp.clip(t - stage, 0, M - 1)
+                return jax.lax.dynamic_index_in_dim(
+                    batch[name][0], mb, axis=0, keepdims=False
+                )
+
+            def stage_layers(x, attn_fn, cos, sin):
+                body = functools.partial(
+                    _layer_tp, config=mc, attn_fn=attn_fn, tp=tp, axis="model"
+                )
+
+                def scan_fn(carry, lp):
+                    return body(carry, lp, cos, sin), None
+
+                if ec.remat:
+                    from dynamictreeattn_tpu.models.qwen3 import _remat_policy
+
+                    scan_fn = jax.checkpoint(
+                        scan_fn, prevent_cse=False,
+                        policy=_remat_policy(ec.remat_policy),
+                    )
+                x, _ = jax.lax.scan(scan_fn, x, p["layers"])
+                return x
+
+            def tick(carry, t):
+                x_prev, loss_acc, lp_acc, ent_acc = carry
+                tok = mb_field("tokens", t)  # [n]
+                dep = mb_field("depth", t)
+                meta = tuple(mb_field(f, t) for f in _META_FIELDS)
+                if ec.attn_backend == "reference":
+                    ld = mb_field("last_desc", t)
+                    attn_fn = lambda q, k, v: tree_attention_reference(q, k, v, ld)
+                else:
+                    ld = mb_field("last_desc", t)
+                    bs = BlockSizes(ec.block_q, ec.block_kv)
+                    attn_fn = lambda q, k, v: tree_attention(
+                        q, k, v, ld, *meta, block_sizes=bs, interpret=ec.interpret
+                    )
+                cos, sin = rope_tables(dep, mc.head_dim, mc.rope_theta)
+
+                x0 = _embed_vp(p["embed"], tok, "model").astype(dtype)
+                x_in = jnp.where(stage == 0, x0, x_prev)
+                y = stage_layers(x_in, attn_fn, cos, sin)
+
+                # last stage: final norm + loss on the microbatch leaving the
+                # pipe this tick (masked to 0 on bubbles / other stages).
+                # mpar_in: the vocab-parallel loss hands back per-rank PARTIAL
+                # hidden cotangents (its vocab shard only) — psum them over
+                # "model" (same operator as tp_model's final norm)
+                h = mpar_in(rms_norm(y, p["final_norm"], mc.rms_norm_eps), "model")
+                w_local = p["embed"].T if mc.tie_word_embeddings else p["lm_head"]
+                l, aux = vp_tree_loss_from_hidden(
+                    h, w_local, tok, mb_field("parent", t),
+                    mb_field("w_logprob", t), mb_field("w_entropy", t),
+                    ec.temperature, ec.loss_chunk,
+                )
+                mb = t - stage
+                live = ((mb >= 0) & (mb < M) & (stage == pp - 1)).astype(l.dtype)
+                loss_acc = loss_acc + live * l
+                lp_acc = lp_acc + live * aux["sum_logprob"]
+                ent_acc = ent_acc + live * aux["sum_entropy"]
+
+                y = jax.lax.ppermute(y, "pipe", perm)
+                return (y, loss_acc, lp_acc, ent_acc), None
+
+            x0 = jnp.zeros((n, mc.hidden_size), dtype)
+            carry = (x0, jnp.float32(0), jnp.float32(0), jnp.float32(0))
+            (_, loss, s_lp, s_ent), _ = jax.lax.scan(
+                tick, carry, jnp.arange(M + pp - 1)
+            )
+            # NOTE: no psum here — each device's backward seeds its OWN loss
+            # cotangent, so the per-stage masked loss (nonzero only on the
+            # last stage) makes the SPMD backward compute d(true loss)/dθ;
+            # a psum inside loss_fn would transpose to another psum and scale
+            # every gradient by pp (see parallel/collectives.py).
+            return loss, {"sum_logprob": s_lp, "sum_entropy": s_ent}
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        # share the last stage's loss/aux with every stage (post-grad)
+        loss = jax.lax.psum(loss, "pipe")
+        aux = jax.tree.map(lambda a: jax.lax.psum(a, "pipe"), aux)
+        # layer grads are stage-local (pipe-sharded); everything else is
+        # touched by several stages (embed at 0 + loss head at pp−1,
+        # final_norm at pp−1 with zeros elsewhere) → psum over "pipe"
+        grads = {
+            k: v if k == "layers" else jax.tree.map(
+                lambda g: jax.lax.psum(g, "pipe"), v
+            )
+            for k, v in grads.items()
+        }
+        if mc.use_qk_norm:
+            for nrm in ("q_norm", "k_norm"):
+                grads["layers"][nrm] = jax.lax.psum(grads["layers"][nrm], "model")
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, "data"), grads)
+        loss = jax.lax.psum(loss, "data")
+        aux = jax.tree.map(lambda a: jax.lax.psum(a, "data"), aux)
+        return loss, grads, aux
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(pspecs, bspec),
+        out_specs=(P(), pspecs, P()),
+        check_vma=False,
+    )
+    def step(params, batch):
+        return local_step(params, batch)
+
+    grad_step = jax.jit(step)
+    if optimizer is None:
+        return grad_step
+
+    import optax
+
+    @jax.jit
+    def opt_step(params, opt_state, batch):
+        loss, grads, aux = step(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
+    return opt_step

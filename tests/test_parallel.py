@@ -204,6 +204,67 @@ def test_fsdp_optimizer_state_is_sharded():
     assert float(loss2) < float(loss1)
 
 
+@pytest.mark.parametrize("dp,pp,tp,M", [(1, 2, 1, 3), (1, 2, 2, 2), (2, 2, 2, 2)])
+def test_pipeline_step_matches_single_device(dp, pp, tp, M):
+    """GPipe over "pipe": loss + grads == oracle summed over all microbatches."""
+    from dynamictreeattn_tpu.parallel import (
+        make_pp_train_step, shard_params_pp, stack_microbatches,
+    )
+
+    rng = np.random.default_rng(23)
+    rows, flat_tries = [], []
+    for _ in range(dp):
+        row = []
+        for _ in range(M):
+            seqs, attachs = random_trie_batch(
+                rng, n_seqs=5, vocab=TINY.vocab_size, max_len=20
+            )
+            row.append(TokenTrie(seqs, attachs))
+        rows.append(row)
+        flat_tries.extend(row)
+    mesh = make_mesh(dp=dp, tp=tp, pp=pp)
+    params = init_params(TINY, jax.random.key(0), dtype=jnp.float32)
+    step = make_pp_train_step(TINY, mesh, ECFG)
+    batch = stack_microbatches(rows, ECFG)
+    loss, grads, aux = step(shard_params_pp(params, mesh, TINY), batch.arrays)
+
+    engine = TreeEngine(TINY, ECFG)
+    total_loss, total_grads = 0.0, None
+    for t in flat_tries:
+        l, g, _ = engine.loss_and_grad(params, engine.prepare(t))
+        total_loss += float(l)
+        total_grads = g if total_grads is None else jax.tree.map(
+            jnp.add, total_grads, g
+        )
+    np.testing.assert_allclose(float(loss), total_loss, rtol=1e-4)
+    rows_cmp = compare_grads(total_grads, jax.device_get(grads))
+    assert rows_cmp[0][1] < 1e-3, rows_cmp[0]
+
+
+def test_pipeline_optimizer_descends():
+    import optax
+
+    from dynamictreeattn_tpu.parallel import (
+        make_pp_train_step, shard_params_pp, stack_microbatches,
+    )
+
+    rng = np.random.default_rng(29)
+    rows = [[
+        TokenTrie(*random_trie_batch(rng, n_seqs=5, vocab=128, max_len=20))
+        for _ in range(2)
+    ]]
+    mesh = make_mesh(dp=1, tp=2, pp=2)
+    params = init_params(TINY, jax.random.key(1), dtype=jnp.float32)
+    sharded = shard_params_pp(params, mesh, TINY)
+    opt = optax.adamw(1e-3)
+    opt_state = init_opt_state(opt, sharded)
+    step = make_pp_train_step(TINY, mesh, ECFG, optimizer=opt)
+    batch = stack_microbatches(rows, ECFG)
+    p1, opt_state, loss1, _ = step(sharded, opt_state, batch.arrays)
+    p2, opt_state, loss2, _ = step(p1, opt_state, batch.arrays)
+    assert float(loss2) < float(loss1)
+
+
 def test_time_model_nnls_recovers_linear_cost():
     rng = np.random.default_rng(0)
     tm = TreeTimeModel(min_points=16)
