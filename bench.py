@@ -59,6 +59,21 @@ def main():
                       remat_policy=policy, remat_segments=segments,
                       loss_chunk=chunk,
                       bucketing="exact")  # fixed workload: measure the engine, not padding
+    # The tree engine may use a lighter remat than the dense baseline: the
+    # trie packs ~5x fewer tokens, so activations that OOM dense can fit tree
+    # (the reference's dense baseline likewise needs --act-ckpt at scale,
+    # reference: exp/exp_dense.py:11-15). Defaults keep both identical.
+    t_remat = os.environ.get("DTA_BENCH_TREE_REMAT")
+    t_policy = os.environ.get("DTA_BENCH_TREE_POLICY")
+    ec_tree = ec
+    if t_remat is not None or t_policy is not None:
+        import dataclasses
+
+        ec_tree = dataclasses.replace(
+            ec,
+            remat=remat if t_remat is None else t_remat != "0",
+            remat_policy=policy if t_policy is None else (t_policy or None),
+        )
 
     # tau2-16k-like: long shared tool-call prompts, heavy branching
     seqs, attachs = synthetic_rollout_batch(
@@ -71,13 +86,14 @@ def main():
     share = sharing_ratio(seqs)
 
     engine = TreeEngine(mc, ec)
-    tree_batch = engine.prepare(TokenTrie(seqs, attachs))
+    tree_engine = engine if ec_tree is ec else TreeEngine(mc, ec_tree)
+    tree_batch = tree_engine.prepare(TokenTrie(seqs, attachs))
     dense_batch = engine.prepare(
         pack_sequences_dense(seqs, attachs, pad_multiple=ec.pad_multiple)
     )
     params = init_params(mc, jax.random.key(0), dtype=jnp.bfloat16)
 
-    loss_t, dt_tree = timed_step(engine.loss_and_grad, params, tree_batch)
+    loss_t, dt_tree = timed_step(tree_engine.loss_and_grad, params, tree_batch)
     loss_d, dt_dense = timed_step(engine.loss_and_grad, params, dense_batch)
 
     loss_rel = abs(loss_t - loss_d) / max(1e-9, abs(loss_d))

@@ -32,6 +32,10 @@ def main(argv=None):
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--sp", type=int, default=1,
                    help="Ulysses sequence parallelism (must divide kv_heads/tp)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="GPipe pipeline stages (must divide n_layers)")
+    p.add_argument("--microbatches", type=int, default=4,
+                   help="microbatches per data rank when --pp > 1")
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--weight-decay", type=float, default=0.0)
     p.add_argument("--grad-clip", type=float, default=1.0)
@@ -57,7 +61,8 @@ def main(argv=None):
     mc = MODEL_CONFIGS[args.model]
     _, ec = build_engine(mc, args)
     tc = TrainConfig(
-        dp=args.dp, tp=args.tp, sp=args.sp, learning_rate=args.lr,
+        dp=args.dp, tp=args.tp, sp=args.sp, pp=args.pp,
+        microbatches=args.microbatches, learning_rate=args.lr,
         weight_decay=args.weight_decay, grad_clip=args.grad_clip,
         grad_accum=args.grad_accum, warmup_steps=args.warmup_steps,
         fsdp=args.fsdp, fsdp_min_size=args.fsdp_min_size,

@@ -38,6 +38,8 @@ class TrainConfig:
     dp: int = 1
     tp: int = 1
     sp: int = 1  # Ulysses sequence parallelism over the "seq" axis
+    pp: int = 1  # GPipe pipeline stages over the "pipe" axis
+    microbatches: int = 4  # microbatches per data rank when pp > 1
     learning_rate: float = 1e-5
     warmup_steps: int = 0  # linear warmup into a constant schedule
     weight_decay: float = 0.0
@@ -68,7 +70,8 @@ class Trainer:
         self.ec = engine_config
         self.tc = train_config
         self.mesh = mesh or make_mesh(
-            dp=train_config.dp, tp=train_config.tp, sp=train_config.sp
+            dp=train_config.dp, tp=train_config.tp, sp=train_config.sp,
+            pp=train_config.pp,
         )
         self.time_model = TreeTimeModel()
         self.step_idx = 0
@@ -87,10 +90,20 @@ class Trainer:
         if train_config.grad_accum > 1:
             opt = optax.MultiSteps(opt, every_k_schedule=train_config.grad_accum)
         self.optimizer = opt
-        self._step_fn = make_train_step(
-            self.mc, self.mesh, self.ec, optimizer=self.optimizer,
-            fsdp=train_config.fsdp, fsdp_min_size=train_config.fsdp_min_size,
-        )
+        if train_config.pp > 1:
+            from dynamictreeattn_tpu.parallel import make_pp_train_step
+
+            if train_config.fsdp:
+                raise ValueError("fsdp + pipeline not supported yet")
+            self._step_fn = make_pp_train_step(
+                self.mc, self.mesh, self.ec, optimizer=self.optimizer
+            )
+        else:
+            self._step_fn = make_train_step(
+                self.mc, self.mesh, self.ec, optimizer=self.optimizer,
+                fsdp=train_config.fsdp,
+                fsdp_min_size=train_config.fsdp_min_size,
+            )
         self.params = None
         self.opt_state = None
         self._ckpt = None
@@ -108,10 +121,15 @@ class Trainer:
         self.set_params(params)
 
     def set_params(self, params) -> None:
-        self.params = shard_params(
-            params, self.mesh, self.mc, fsdp=self.tc.fsdp,
-            fsdp_min_size=self.tc.fsdp_min_size,
-        )
+        if self.tc.pp > 1:
+            from dynamictreeattn_tpu.parallel import shard_params_pp
+
+            self.params = shard_params_pp(params, self.mesh, self.mc)
+        else:
+            self.params = shard_params(
+                params, self.mesh, self.mc, fsdp=self.tc.fsdp,
+                fsdp_min_size=self.tc.fsdp_min_size,
+            )
         self.opt_state = init_opt_state(self.optimizer, self.params)
 
     def save(self, extra: dict | None = None) -> None:
@@ -137,9 +155,9 @@ class Trainer:
         self.step_idx = int(extra.get("step", step or 0))
 
     # ------------------------------------------------------------------ steps
-    def partition(self, seqs, attachs) -> list[TokenTrie]:
-        """Split one rollout batch into dp per-device tries."""
-        dp = self.mesh.shape["data"]
+    def partition(self, seqs, attachs, n_bins: int | None = None) -> list[TokenTrie]:
+        """Split one rollout batch into per-device (or per-microbatch) tries."""
+        dp = n_bins if n_bins is not None else self.mesh.shape["data"]
         if dp == 1:
             bins = [list(range(len(seqs)))]
         elif self.tc.lb_method == "LB_by_n_tokens":
@@ -158,8 +176,17 @@ class Trainer:
 
     def train_step(self, seqs, attachs) -> dict:
         assert self.params is not None, "call init()/restore() first"
-        tries = self.partition(seqs, attachs)
-        batch = stack_batches(tries, self.ec, sp=self.mesh.shape.get("seq", 1))
+        if self.tc.pp > 1:
+            from dynamictreeattn_tpu.parallel import stack_microbatches
+
+            dp, M = self.mesh.shape["data"], self.tc.microbatches
+            flat = self.partition(seqs, attachs, n_bins=dp * M)
+            tries = flat  # cost-model features below cover every bin
+            rows = [flat[r * M:(r + 1) * M] for r in range(dp)]
+            batch = stack_microbatches(rows, self.ec)
+        else:
+            tries = self.partition(seqs, attachs)
+            batch = stack_batches(tries, self.ec, sp=self.mesh.shape.get("seq", 1))
         t0 = time.time()
         new_params, new_opt, loss, aux = self._step_fn(
             self.params, self.opt_state, batch.arrays
