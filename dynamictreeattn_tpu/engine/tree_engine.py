@@ -190,13 +190,27 @@ class TreeEngine:
         )
 
     def _loss(self, params, tokens, depth, parent, last_desc, w_lp, w_ent, meta):
-        lp_edge, entropy = self._logprobs(
-            params, tokens, depth, parent, last_desc, meta
+        from dynamictreeattn_tpu.models.qwen3 import forward_hidden_aux
+
+        hidden, faux = forward_hidden_aux(
+            params, self.mc, tokens, depth, self._attn_fn(last_desc, meta),
+            remat=self.cfg.remat, remat_policy=self.cfg.remat_policy,
+            remat_segments=self.cfg.remat_segments,
+        )
+        lp_edge, entropy = logprob_entropy_from_hidden(
+            hidden, lm_head_weight(params, self.mc), tokens, parent,
+            self.cfg.temperature, self.cfg.loss_chunk,
         )
         sum_lp = jnp.sum(w_lp * lp_edge)
         sum_ent = jnp.sum(w_ent * entropy)
         loss = sum_lp + sum_ent
-        return loss, {"sum_logprob": sum_lp, "sum_entropy": sum_ent}
+        aux = {"sum_logprob": sum_lp, "sum_entropy": sum_ent}
+        if self.mc.is_moe:
+            # router load-balance auxiliary loss (HF Qwen3Moe counterpart)
+            aux["lb_loss"] = faux["lb_loss"]
+            if self.mc.router_aux_coef:
+                loss = loss + self.mc.router_aux_coef * faux["lb_loss"]
+        return loss, aux
 
     # -------------------------------------------------------------- user API
     def loss(self, params, batch: TrieBatch):

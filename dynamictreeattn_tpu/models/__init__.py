@@ -10,6 +10,8 @@ from dynamictreeattn_tpu.models.qwen3 import (
     MODEL_CONFIGS,
     init_params,
     forward_hidden,
+    forward_hidden_aux,
+    moe_apply,
     logits_from_hidden,
 )
 
@@ -18,5 +20,7 @@ __all__ = [
     "MODEL_CONFIGS",
     "init_params",
     "forward_hidden",
+    "forward_hidden_aux",
+    "moe_apply",
     "logits_from_hidden",
 ]

@@ -36,6 +36,8 @@ __all__ = [
     "MODEL_CONFIGS",
     "init_params",
     "forward_hidden",
+    "forward_hidden_aux",
+    "moe_apply",
     "logits_from_hidden",
     "lm_head_weight",
 ]
@@ -58,6 +60,20 @@ class Qwen3Config:
     # biases on the q/k/v projections (not o_proj).
     use_qk_norm: bool = True
     attention_bias: bool = False
+    # Qwen3-MoE variants (beyond the reference's dense-only sweep): sparse
+    # SwiGLU experts with softmax top-k routing, per HF Qwen3Moe.
+    num_experts: int = 0  # 0 = dense MLP
+    num_experts_per_tok: int = 8
+    moe_intermediate_size: int = 768
+    norm_topk_prob: bool = True
+    # GShard-style per-expert capacity = cap_factor · n·k/E (tokens past it
+    # are dropped, standard for static-shape TPU MoE); raise for exactness.
+    moe_capacity_factor: float = 1.5
+    router_aux_coef: float = 0.001  # load-balance aux loss weight (0 = off)
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
 
     @property
     def group(self) -> int:
@@ -110,6 +126,19 @@ MODEL_CONFIGS: dict[str, Qwen3Config] = {
         head_dim=128, tie_word_embeddings=False, use_qk_norm=False,
         attention_bias=True,
     ),
+    # Qwen3 MoE family (published configs; beyond-reference model family)
+    "qwen3-moe-tiny": Qwen3Config(  # CPU-test config, not a published model
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, tie_word_embeddings=True,
+        num_experts=8, num_experts_per_tok=2, moe_intermediate_size=32,
+    ),
+    "qwen3-30b-a3b": Qwen3Config(
+        hidden_size=2048, intermediate_size=6144, num_hidden_layers=48,
+        num_attention_heads=32, num_key_value_heads=4, head_dim=128,
+        tie_word_embeddings=False,
+        num_experts=128, num_experts_per_tok=8, moe_intermediate_size=768,
+    ),
 }
 
 
@@ -136,10 +165,18 @@ def init_params(config: Qwen3Config, key, dtype=jnp.bfloat16) -> dict:
         "wk": dense(keys[2], d, L, d, hkv * dh),
         "wv": dense(keys[3], d, L, d, hkv * dh),
         "wo": dense(keys[4], hq * dh, L, hq * dh, d),
-        "gate": dense(keys[5], d, L, d, I),
-        "up": dense(keys[6], d, L, d, I),
-        "down": dense(keys[7], I, L, I, d),
     }
+    if c.is_moe:
+        E, Ie = c.num_experts, c.moe_intermediate_size
+        ek = jax.random.split(keys[5], 4)
+        layers["router"] = dense(ek[0], d, L, d, E)
+        layers["e_gate"] = dense(ek[1], d, L, E, d, Ie)
+        layers["e_up"] = dense(ek[2], d, L, E, d, Ie)
+        layers["e_down"] = dense(ek[3], Ie, L, E, Ie, d)
+    else:
+        layers["gate"] = dense(keys[5], d, L, d, I)
+        layers["up"] = dense(keys[6], d, L, d, I)
+        layers["down"] = dense(keys[7], I, L, I, d)
     if c.use_qk_norm:
         layers["q_norm"] = norm(L, dh)
         layers["k_norm"] = norm(L, dh)
@@ -195,6 +232,86 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return out.astype(x.dtype)
 
 
+# -------------------------------------------------------------------------- MoE
+
+
+def moe_apply(
+    h: jnp.ndarray,  # [n, d]
+    e_gate: jnp.ndarray,  # [E_local, d, Ie]
+    e_up: jnp.ndarray,  # [E_local, d, Ie]
+    e_down: jnp.ndarray,  # [E_local, Ie, d]
+    idx: jnp.ndarray,  # [n, k] int32 — LOCAL expert ids (may be out of range
+    #                     under expert parallelism: those entries are skipped)
+    w: jnp.ndarray,  # [n, k] f32 routing weights
+    capacity: int,
+) -> jnp.ndarray:
+    """Sort-based capacity dispatch → batched expert GEMMs → weighted combine.
+
+    TPU-first formulation: instead of ragged per-expert token lists, the
+    (token, choice) pairs are argsorted by expert, ranked within their
+    expert, and scattered into a static [E, capacity, d] buffer (GShard-style
+    token dropping past capacity). The three expert GEMMs are then single
+    batched einsums on the MXU. Everything has static shapes."""
+    n, d = h.shape
+    E_local = e_gate.shape[0]
+    k = idx.shape[1]
+    nk = n * k
+    flat_e = idx.reshape(-1)
+    flat_w = w.reshape(-1)
+    in_range = (flat_e >= 0) & (flat_e < E_local)
+    sort_key = jnp.where(in_range, flat_e, E_local)  # off-rank → tail bucket
+    order = jnp.argsort(sort_key, stable=True)
+    sorted_e = jnp.take(sort_key, order)
+    starts = jnp.searchsorted(sorted_e, jnp.arange(E_local))  # [E_local]
+    rank = jnp.arange(nk) - jnp.take(
+        starts, jnp.clip(sorted_e, 0, E_local - 1)
+    )
+    keep = (sorted_e < E_local) & (rank < capacity)
+    slot = jnp.where(
+        keep,
+        jnp.clip(sorted_e, 0, E_local - 1) * capacity + rank,
+        E_local * capacity,  # overflow slot, never read back
+    )
+    tok = order // k
+    xs = jnp.take(h, tok, axis=0)  # [nk, d]
+    buf = (
+        jnp.zeros((E_local * capacity + 1, d), h.dtype)
+        .at[slot]
+        .add(xs * keep[:, None].astype(h.dtype))
+    )
+    buf = buf[:-1].reshape(E_local, capacity, d)
+    a = jnp.einsum("ecd,edi->eci", buf, e_gate)
+    b = jnp.einsum("ecd,edi->eci", buf, e_up)
+    act = jax.nn.silu(a.astype(jnp.float32)).astype(b.dtype) * b
+    out = jnp.einsum("eci,eid->ecd", act, e_down).reshape(E_local * capacity, d)
+    ys = jnp.take(out, jnp.minimum(slot, E_local * capacity - 1), axis=0)
+    ys = ys.astype(jnp.float32) * (keep * jnp.take(flat_w, order))[:, None]
+    return jnp.zeros((n, d), jnp.float32).at[tok].add(ys).astype(h.dtype)
+
+
+def _moe_block(h: jnp.ndarray, lp: dict, config: Qwen3Config):
+    """Router + top-k + dispatch. Returns (mlp_out [n, d], lb_loss scalar).
+
+    Aux loss is the Switch/GShard load-balance term E · Σ_e f_e·P̄_e (HF
+    Qwen3Moe's load_balancing_loss_func equivalent)."""
+    import math
+
+    c = config
+    n, _ = h.shape
+    E, k = c.num_experts, c.num_experts_per_tok
+    logits = jnp.dot(h, lp["router"], preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)  # [n, E] fp32
+    w, idx = jax.lax.top_k(probs, k)
+    if c.norm_topk_prob:
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+    nk = n * k
+    counts = jnp.zeros((E,), jnp.float32).at[idx.reshape(-1)].add(1.0)
+    lb = E * jnp.sum((counts / nk) * jnp.mean(probs, axis=0))
+    cap = int(math.ceil(c.moe_capacity_factor * nk / E))
+    y = moe_apply(h, lp["e_gate"], lp["e_up"], lp["e_down"], idx, w, cap)
+    return y, lb
+
+
 # ---------------------------------------------------------------------- forward
 
 AttnFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
@@ -232,12 +349,16 @@ def _layer(x, lp, cos, sin, config: Qwen3Config, attn_fn: AttnFn):
 
     # --- MLP block
     h = rms_norm(x, lp["ln2"], eps)
+    if c.is_moe:
+        y, lb = _moe_block(h, lp, c)
+        x = x + y.astype(x.dtype)
+        return x, lb
     act = jax.nn.silu((h @ lp["gate"]).astype(jnp.float32)).astype(h.dtype)
     x = x + (act * (h @ lp["up"])) @ lp["down"]
-    return x
+    return x, jnp.float32(0)
 
 
-def forward_hidden(
+def forward_hidden_aux(
     params: dict,
     config: Qwen3Config,
     tokens: jnp.ndarray,  # [n] int32
@@ -246,9 +367,9 @@ def forward_hidden(
     remat: bool = False,
     remat_policy: str | None = None,
     remat_segments: int = 0,
-) -> jnp.ndarray:
-    """Returns final-norm'd hidden states [n, d] (LM head applied separately
-    so losses can fuse it — ops/losses.py)."""
+):
+    """(hidden [n, d], aux) — aux["lb_loss"] is the summed router
+    load-balance loss over layers (0 for dense models)."""
     c = config
     x = jnp.take(params["embed"], tokens, axis=0)
     cos, sin = rope_tables(positions, c.head_dim, c.rope_theta)
@@ -256,8 +377,11 @@ def forward_hidden(
     body = functools.partial(_layer, config=c, attn_fn=attn_fn)
 
     def scan_fn(carry, lp):
-        return body(carry, lp, cos, sin), None
+        x, lb = carry
+        x, lb_i = body(x, lp, cos, sin)
+        return (x, lb + lb_i), None
 
+    carry = (x, jnp.float32(0))
     if remat and remat_segments:
         # nested (√L-style) checkpointing: the plain remat'd scan still saves
         # one [n, d] carry per layer; two checkpointed scan levels save
@@ -278,14 +402,34 @@ def forward_hidden(
             return out, None
 
         seg_fn = jax.checkpoint(seg_fn, prevent_cse=False)
-        x, _ = jax.lax.scan(seg_fn, x, seg_params)
+        (x, lb), _ = jax.lax.scan(seg_fn, carry, seg_params)
     else:
         if remat:
             scan_fn = jax.checkpoint(
                 scan_fn, prevent_cse=False, policy=_remat_policy(remat_policy)
             )
-        x, _ = jax.lax.scan(scan_fn, x, params["layers"])
-    return rms_norm(x, params["final_norm"], c.rms_norm_eps)
+        (x, lb), _ = jax.lax.scan(scan_fn, carry, params["layers"])
+    hidden = rms_norm(x, params["final_norm"], c.rms_norm_eps)
+    return hidden, {"lb_loss": lb}
+
+
+def forward_hidden(
+    params: dict,
+    config: Qwen3Config,
+    tokens: jnp.ndarray,
+    positions: jnp.ndarray,
+    attn_fn: AttnFn,
+    remat: bool = False,
+    remat_policy: str | None = None,
+    remat_segments: int = 0,
+) -> jnp.ndarray:
+    """Returns final-norm'd hidden states [n, d] (LM head applied separately
+    so losses can fuse it — ops/losses.py)."""
+    hidden, _ = forward_hidden_aux(
+        params, config, tokens, positions, attn_fn,
+        remat=remat, remat_policy=remat_policy, remat_segments=remat_segments,
+    )
+    return hidden
 
 
 def _remat_policy(name: str | None):

@@ -112,6 +112,8 @@ def make_pp_train_step(
     tp = mesh.shape["model"]
     if mesh.shape.get("seq", 1) > 1:
         raise ValueError("pipeline and sequence parallelism are exclusive")
+    if mc.is_moe:
+        raise ValueError("pipeline + MoE not supported yet")
     pspecs = pp_param_specs(mc, pp)
     bspec = {f: P("data", None, None) for f in _BATCH_FIELDS}
     bspec["kv_counts"] = bspec["q_counts"] = P("data", None, None)
@@ -140,7 +142,8 @@ def make_pp_train_step(
                 )
 
                 def scan_fn(carry, lp):
-                    return body(carry, lp, cos, sin), None
+                    out, _lb = body(carry, lp, cos, sin)  # dense: lb is 0
+                    return out, None
 
                 if ec.remat:
                     from dynamictreeattn_tpu.models.qwen3 import _remat_policy

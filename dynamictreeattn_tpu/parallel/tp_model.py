@@ -35,14 +35,23 @@ def tp_param_shard_info(config: Qwen3Config, tp: int) -> dict:
     c = config
     if c.num_key_value_heads % tp:
         raise ValueError(f"kv heads {c.num_key_value_heads} not divisible by {tp=}")
-    if c.vocab_size % tp or c.intermediate_size % tp:
-        raise ValueError("vocab/intermediate not divisible by tp")
-    return {
+    if c.vocab_size % tp:
+        raise ValueError("vocab not divisible by tp")
+    info = {
         "local_q_heads": c.num_attention_heads // tp,
         "local_kv_heads": c.num_key_value_heads // tp,
         "local_vocab": c.vocab_size // tp,
-        "local_intermediate": c.intermediate_size // tp,
     }
+    if c.is_moe:
+        # expert parallelism rides the "model" axis: experts shard E/tp-ways
+        if c.num_experts % tp:
+            raise ValueError(f"experts {c.num_experts} not divisible by {tp=}")
+        info["local_experts"] = c.num_experts // tp
+    else:
+        if c.intermediate_size % tp:
+            raise ValueError("intermediate not divisible by tp")
+        info["local_intermediate"] = c.intermediate_size // tp
+    return info
 
 
 def _embed_vp(embed_local, tokens, axis):
@@ -107,10 +116,50 @@ def _layer_tp(
         o = o.transpose(1, 0, 2).reshape(n, hq_l * dh)
     x = x + mpar_out(o @ lp["wo"], axis)
 
-    h = mpar_in(rms_norm(x, lp["ln2"], eps), axis)
+    h_norm = rms_norm(x, lp["ln2"], eps)
+    if c.is_moe:
+        x, lb = _moe_block_ep(x, h_norm, lp, c, tp, axis)
+        return x, lb
+    h = mpar_in(h_norm, axis)
     act = jax.nn.silu((h @ lp["gate"]).astype(jnp.float32)).astype(h.dtype)
     x = x + mpar_out((act * (h @ lp["up"])) @ lp["down"], axis)
-    return x
+    return x, jnp.float32(0)
+
+
+def _moe_block_ep(x, h_norm, lp, c: Qwen3Config, tp: int, axis: str):
+    """Expert-parallel MoE over the "model" axis (replicated activations).
+
+    Routing (router matmul, softmax, top-k, load-balance loss) is computed
+    redundantly-replicated on every rank — the router weight is tiny and
+    this avoids any routing collective. Each rank dispatches only the
+    (token, choice) pairs whose expert it owns and the partial outputs psum
+    (`mpar_out`). Autodiff bookkeeping: the combine weights `w` pass through
+    `mpar_in` because each rank's w-cotangent covers only its own experts'
+    combine path — the psum restores the full router gradient; the lb path
+    is redundant-replicated and therefore already full."""
+    import math
+
+    from dynamictreeattn_tpu.models.qwen3 import moe_apply
+
+    n = h_norm.shape[0]
+    E, k = c.num_experts, c.num_experts_per_tok
+    e_local = E // tp
+    logits = jnp.dot(h_norm, lp["router"], preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)  # [n, E] fp32, replicated
+    w, idx = jax.lax.top_k(probs, k)
+    if c.norm_topk_prob:
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+    nk = n * k
+    counts = jnp.zeros((E,), jnp.float32).at[idx.reshape(-1)].add(1.0)
+    lb = E * jnp.sum((counts / nk) * jnp.mean(probs, axis=0))
+    cap = int(math.ceil(c.moe_capacity_factor * nk / E))
+    e_off = jax.lax.axis_index(axis) * e_local
+    y_partial = moe_apply(
+        mpar_in(h_norm, axis),
+        lp["e_gate"], lp["e_up"], lp["e_down"],
+        idx - e_off, mpar_in(w, axis), cap,
+    )
+    return x + mpar_out(y_partial, axis).astype(x.dtype), lb
 
 
 def forward_hidden_tp(
@@ -127,8 +176,10 @@ def forward_hidden_tp(
     unshard_fn=None,
     sp: int = 1,
     seq_axis: str = "seq",
-) -> jnp.ndarray:
-    """Like models.qwen3.forward_hidden but on tp-sharded local params.
+):
+    """Like models.qwen3.forward_hidden_aux but on tp-sharded local params.
+    Returns (hidden, aux) with aux["lb_loss"] the summed router
+    load-balance loss (0 for dense configs).
 
     `attn_fn` receives LOCAL head shards [hq/tp, n, dh]. `unshard_fn`, if
     given, maps one layer's param pytree to its full (tp-local) form at the
@@ -153,8 +204,11 @@ def forward_hidden_tp(
     def scan_fn(carry, lp):
         if unshard_fn is not None:
             lp = unshard_fn(lp)
-        return body(carry, lp, cos, sin), None
+        x, lb = carry
+        x, lb_i = body(x, lp, cos, sin)
+        return (x, lb + lb_i), None
 
+    carry = (x, jnp.float32(0))
     if remat and remat_segments:
         from dynamictreeattn_tpu.models.qwen3 import _remat_policy
 
@@ -172,16 +226,21 @@ def forward_hidden_tp(
             out, _ = jax.lax.scan(inner, carry, sp)
             return out, None
 
-        x, _ = jax.lax.scan(jax.checkpoint(seg_fn, prevent_cse=False), x, seg_params)
+        (x, lb), _ = jax.lax.scan(
+            jax.checkpoint(seg_fn, prevent_cse=False), carry, seg_params
+        )
     elif remat:
         from dynamictreeattn_tpu.models.qwen3 import _remat_policy
 
         scan_fn = jax.checkpoint(
             scan_fn, prevent_cse=False, policy=_remat_policy(remat_policy)
         )
-        x, _ = jax.lax.scan(scan_fn, x, params_local["layers"])
+        (x, lb), _ = jax.lax.scan(scan_fn, carry, params_local["layers"])
     else:
-        x, _ = jax.lax.scan(scan_fn, x, params_local["layers"])
+        (x, lb), _ = jax.lax.scan(scan_fn, carry, params_local["layers"])
     # final mpar_in: the vocab-parallel loss produces per-rank partial hidden
     # cotangents (its vocab shard only)
-    return mpar_in(rms_norm(x, params_local["final_norm"], c.rms_norm_eps), axis)
+    hidden = mpar_in(
+        rms_norm(x, params_local["final_norm"], c.rms_norm_eps), axis
+    )
+    return hidden, {"lb_loss": lb}

@@ -49,19 +49,27 @@ def param_specs(config: Qwen3Config) -> dict:
     Vocab-sharded embedding co-designs with the vocab-parallel loss (tied LM
     head shares the shard); attention sharded by heads (GQA co-located);
     MLP column/row-sharded — the standard Megatron layout."""
+    layer_specs = {
+        "ln1": P(None, None),
+        "ln2": P(None, None),
+        "wq": P(None, None, "model"),
+        "wk": P(None, None, "model"),
+        "wv": P(None, None, "model"),
+        "wo": P(None, "model", None),
+    }
+    if config.is_moe:
+        # expert parallelism over "model": experts shard, router replicated
+        layer_specs["router"] = P(None, None, None)
+        layer_specs["e_gate"] = P(None, "model", None, None)
+        layer_specs["e_up"] = P(None, "model", None, None)
+        layer_specs["e_down"] = P(None, "model", None, None)
+    else:
+        layer_specs["gate"] = P(None, None, "model")
+        layer_specs["up"] = P(None, None, "model")
+        layer_specs["down"] = P(None, "model", None)
     specs = {
         "embed": P("model", None),
-        "layers": {
-            "ln1": P(None, None),
-            "ln2": P(None, None),
-            "wq": P(None, None, "model"),
-            "wk": P(None, None, "model"),
-            "wv": P(None, None, "model"),
-            "wo": P(None, "model", None),
-            "gate": P(None, None, "model"),
-            "up": P(None, None, "model"),
-            "down": P(None, "model", None),
-        },
+        "layers": layer_specs,
         "final_norm": P(None),
     }
     if config.use_qk_norm:
@@ -370,7 +378,7 @@ def make_train_step(
                     p["lm_head"] = jax.lax.all_gather(
                         p["lm_head"], "data", axis=dims["lm_head"], tiled=True
                     )
-            h = forward_hidden_tp(
+            h, faux = forward_hidden_tp(
                 p, mc, tok_in, dep_in, attn_fn, tp=tp, remat=ec.remat,
                 remat_policy=ec.remat_policy,
                 remat_segments=ec.remat_segments,
@@ -379,14 +387,20 @@ def make_train_step(
             )
             w_local = p["embed"].T if mc.tie_word_embeddings else p["lm_head"]
             if sp > 1:
-                return vp_tree_loss_edges(
+                loss, aux = vp_tree_loss_edges(
                     h, w_local, e_par, e_tok, e_w, w_ent_loc,
                     ec.temperature, ec.loss_chunk,
                 )
-            return vp_tree_loss_from_hidden(
-                h, w_local, tokens, parent, w_lp, w_ent,
-                ec.temperature, ec.loss_chunk,
-            )
+            else:
+                loss, aux = vp_tree_loss_from_hidden(
+                    h, w_local, tokens, parent, w_lp, w_ent,
+                    ec.temperature, ec.loss_chunk,
+                )
+            if mc.is_moe:
+                aux = dict(aux, lb_loss=faux["lb_loss"])
+                if mc.router_aux_coef:
+                    loss = loss + mc.router_aux_coef * faux["lb_loss"]
+            return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         if sp > 1:
