@@ -30,6 +30,21 @@ def hf_config(config: Qwen3Config):
         rope_theta=config.rope_theta,
         tie_word_embeddings=config.tie_word_embeddings,
     )
+    if config.is_moe:
+        from transformers.models.qwen3_moe import Qwen3MoeConfig as HFQwen3MoeConfig
+
+        assert config.use_qk_norm and not config.attention_bias
+        return HFQwen3MoeConfig(
+            head_dim=config.head_dim,
+            attention_bias=False,
+            num_experts=config.num_experts,
+            num_experts_per_tok=config.num_experts_per_tok,
+            moe_intermediate_size=config.moe_intermediate_size,
+            norm_topk_prob=config.norm_topk_prob,
+            decoder_sparse_step=1,
+            mlp_only_layers=[],
+            **common,
+        )
     if config.use_qk_norm:
         from transformers.models.qwen3 import Qwen3Config as HFQwen3Config
 
@@ -65,9 +80,23 @@ def to_hf_state_dict(params: dict, config: Qwen3Config) -> dict:
             out[pre + "self_attn.q_proj.bias"] = np.asarray(lp["bq"][i], np.float32)
             out[pre + "self_attn.k_proj.bias"] = np.asarray(lp["bk"][i], np.float32)
             out[pre + "self_attn.v_proj.bias"] = np.asarray(lp["bv"][i], np.float32)
-        out[pre + "mlp.gate_proj.weight"] = np.asarray(lp["gate"][i], np.float32).T
-        out[pre + "mlp.up_proj.weight"] = np.asarray(lp["up"][i], np.float32).T
-        out[pre + "mlp.down_proj.weight"] = np.asarray(lp["down"][i], np.float32).T
+        if c.is_moe:
+            out[pre + "mlp.gate.weight"] = np.asarray(lp["router"][i], np.float32).T
+            for e in range(c.num_experts):
+                ep = pre + f"mlp.experts.{e}."
+                out[ep + "gate_proj.weight"] = np.asarray(
+                    lp["e_gate"][i, e], np.float32
+                ).T
+                out[ep + "up_proj.weight"] = np.asarray(
+                    lp["e_up"][i, e], np.float32
+                ).T
+                out[ep + "down_proj.weight"] = np.asarray(
+                    lp["e_down"][i, e], np.float32
+                ).T
+        else:
+            out[pre + "mlp.gate_proj.weight"] = np.asarray(lp["gate"][i], np.float32).T
+            out[pre + "mlp.up_proj.weight"] = np.asarray(lp["up"][i], np.float32).T
+            out[pre + "mlp.down_proj.weight"] = np.asarray(lp["down"][i], np.float32).T
     out["model.norm.weight"] = np.asarray(params["final_norm"], np.float32)
     if c.tie_word_embeddings:
         out["lm_head.weight"] = out["model.embed_tokens.weight"]
@@ -99,19 +128,44 @@ def from_hf_state_dict(sd: dict, config: Qwen3Config, dtype=None) -> dict:
             dtype,
         )
 
+    layers = {
+        "ln1": stack("model.layers.{}.input_layernorm.weight"),
+        "ln2": stack("model.layers.{}.post_attention_layernorm.weight"),
+        "wq": stack_t("model.layers.{}.self_attn.q_proj.weight"),
+        "wk": stack_t("model.layers.{}.self_attn.k_proj.weight"),
+        "wv": stack_t("model.layers.{}.self_attn.v_proj.weight"),
+        "wo": stack_t("model.layers.{}.self_attn.o_proj.weight"),
+    }
+    if c.is_moe:
+        layers["router"] = stack_t("model.layers.{}.mlp.gate.weight")
+
+        def stack_experts(fmt):
+            return jnp.asarray(
+                np.stack([
+                    np.stack([
+                        get(fmt.format(i, e)).T for e in range(c.num_experts)
+                    ])
+                    for i in range(c.num_hidden_layers)
+                ]),
+                dtype,
+            )
+
+        layers["e_gate"] = stack_experts(
+            "model.layers.{}.mlp.experts.{}.gate_proj.weight"
+        )
+        layers["e_up"] = stack_experts(
+            "model.layers.{}.mlp.experts.{}.up_proj.weight"
+        )
+        layers["e_down"] = stack_experts(
+            "model.layers.{}.mlp.experts.{}.down_proj.weight"
+        )
+    else:
+        layers["gate"] = stack_t("model.layers.{}.mlp.gate_proj.weight")
+        layers["up"] = stack_t("model.layers.{}.mlp.up_proj.weight")
+        layers["down"] = stack_t("model.layers.{}.mlp.down_proj.weight")
     params = {
         "embed": jnp.asarray(get("model.embed_tokens.weight"), dtype),
-        "layers": {
-            "ln1": stack("model.layers.{}.input_layernorm.weight"),
-            "ln2": stack("model.layers.{}.post_attention_layernorm.weight"),
-            "wq": stack_t("model.layers.{}.self_attn.q_proj.weight"),
-            "wk": stack_t("model.layers.{}.self_attn.k_proj.weight"),
-            "wv": stack_t("model.layers.{}.self_attn.v_proj.weight"),
-            "wo": stack_t("model.layers.{}.self_attn.o_proj.weight"),
-            "gate": stack_t("model.layers.{}.mlp.gate_proj.weight"),
-            "up": stack_t("model.layers.{}.mlp.up_proj.weight"),
-            "down": stack_t("model.layers.{}.mlp.down_proj.weight"),
-        },
+        "layers": layers,
         "final_norm": jnp.asarray(get("model.norm.weight"), dtype),
     }
     if c.use_qk_norm:

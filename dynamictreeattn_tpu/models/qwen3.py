@@ -434,11 +434,24 @@ def forward_hidden(
 
 def _remat_policy(name: str | None):
     """None: full recompute (min memory). "dots": save matmul outputs so the
-    backward skips re-running the FLOP-heavy ops (speed/memory tradeoff)."""
+    backward skips re-running the FLOP-heavy ops. "attn": save the tree-
+    attention kernel outputs (o, lse) so the fwd kernel runs once per step,
+    not twice — ~O(n·Hq·dh) extra memory per layer. "attn_dots": both."""
     if name is None:
         return None
     if name == "dots":
         return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    if name == "attn":
+        return jax.checkpoint_policies.save_only_these_names(
+            "tree_attn_o", "tree_attn_lse"
+        )
+    if name == "attn_dots":
+        return jax.checkpoint_policies.save_from_both_policies(
+            jax.checkpoint_policies.save_only_these_names(
+                "tree_attn_o", "tree_attn_lse"
+            ),
+            jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        )
     raise ValueError(f"unknown remat policy {name!r}")
 
 

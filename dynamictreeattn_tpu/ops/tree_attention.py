@@ -487,6 +487,14 @@ def _tree_attention_fwd(
     o, lse = _fwd(
         q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, block_sizes, interpret
     )
+    # named so a `save_only_these_names` remat policy can keep (o, lse) and
+    # DCE the forward kernel out of the backward recompute — the kernel then
+    # runs once instead of twice per step (models/qwen3.py _remat_policy
+    # "attn"); q/k/v residuals are rebuilt by the cheap linear recompute
+    from jax.ad_checkpoint import checkpoint_name
+
+    o = checkpoint_name(o, "tree_attn_o")
+    lse = checkpoint_name(lse, "tree_attn_lse")
     res = (q4, k, v, ld2, kv_ids, kv_counts, kv_types, q_ids, q_counts, q_types, o, lse)
     return o, res
 

@@ -170,3 +170,48 @@ def test_moe_expert_parallel_matches_single_device(dp, tp):
     np.testing.assert_allclose(float(loss), total_loss, rtol=1e-4)
     rows = compare_grads(total_grads, jax.device_get(grads))
     assert rows[0][1] < 1e-3, rows[:3]
+
+
+def test_moe_logits_match_hf():
+    """JAX MoE forward == HF Qwen3MoeForCausalLM on the same weights.
+
+    HF computes experts exactly (no capacity), so the JAX side gets ample
+    capacity for this check."""
+    import dataclasses
+
+    import torch
+    from transformers.models.qwen3_moe import Qwen3MoeForCausalLM
+
+    from dynamictreeattn_tpu.models.hf_compat import hf_config, to_hf_state_dict
+    from dynamictreeattn_tpu.models.qwen3 import (
+        forward_hidden, logits_from_hidden,
+    )
+
+    cfg = dataclasses.replace(MOE, moe_capacity_factor=float(MOE.num_experts))
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+
+    n = 24
+    tokens = np.array([3, 7, 11, 2, 9] * 5, dtype=np.int32)[:n] % cfg.vocab_size
+    positions = jnp.arange(n, dtype=jnp.int32)
+
+    def causal_attn(q, k, v):
+        from dynamictreeattn_tpu.ops.tree_attention_ref import (
+            tree_attention_reference,
+        )
+        last = jnp.full((n,), n - 1, dtype=jnp.int32)
+        return tree_attention_reference(q, k, v, last)
+
+    hidden = forward_hidden(
+        params, cfg, jnp.asarray(tokens), positions, causal_attn
+    )
+    ours = np.asarray(logits_from_hidden(params, cfg, hidden))
+
+    hf_model = Qwen3MoeForCausalLM(hf_config(cfg)).eval()
+    sd = {k: torch.from_numpy(np.array(v))
+          for k, v in to_hf_state_dict(params, cfg).items()}
+    missing, unexpected = hf_model.load_state_dict(sd, strict=False)
+    assert not [m for m in missing if "rotary" not in m], missing
+    assert not unexpected, unexpected
+    with torch.no_grad():
+        theirs = hf_model(torch.from_numpy(tokens[None].astype(np.int64))).logits[0]
+    np.testing.assert_allclose(ours, theirs.float().numpy(), rtol=2e-4, atol=2e-4)
