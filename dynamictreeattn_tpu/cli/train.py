@@ -34,6 +34,9 @@ def main(argv=None):
                    help="Ulysses sequence parallelism (must divide kv_heads/tp)")
     p.add_argument("--pp", type=int, default=1,
                    help="GPipe pipeline stages (must divide n_layers)")
+    p.add_argument("--pp-schedule", default="gpipe", choices=["gpipe", "1f1b"],
+                   help="microbatch schedule: gpipe (memory grows with M) or "
+                        "1f1b (O(pp) activation memory)")
     p.add_argument("--microbatches", type=int, default=4,
                    help="microbatches per data rank when --pp > 1")
     p.add_argument("--lr", type=float, default=1e-5)
@@ -62,6 +65,7 @@ def main(argv=None):
     _, ec = build_engine(mc, args)
     tc = TrainConfig(
         dp=args.dp, tp=args.tp, sp=args.sp, pp=args.pp,
+        pp_schedule=args.pp_schedule,
         microbatches=args.microbatches, learning_rate=args.lr,
         weight_decay=args.weight_decay, grad_clip=args.grad_clip,
         grad_accum=args.grad_accum, warmup_steps=args.warmup_steps,

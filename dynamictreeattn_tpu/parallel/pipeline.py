@@ -1,13 +1,26 @@
-"""GPipe pipeline parallelism over the "pipe" mesh axis.
+"""Pipeline parallelism over the "pipe" mesh axis (GPipe and 1F1B).
 
 Beyond-reference capability (the reference has no pipeline parallelism,
 SURVEY.md §2.3): the layer stack is split into `pp` contiguous stages
 (layers stay stacked [L, ...] and shard over "pipe" on the L axis), a batch
 of M packed tries per data rank is streamed through as microbatches, and
-activations hop stage→stage with `lax.ppermute` inside a `lax.scan` over the
-M + pp − 1 schedule ticks. `jax.grad` through the scan transposes the
-ppermutes into the reverse hops — the backward pipeline needs no hand-written
-schedule.
+activations hop stage→stage with `lax.ppermute` inside a `lax.scan`.
+
+Two schedules:
+
+* ``schedule="gpipe"`` — all-forward-then-all-backward over M + pp − 1 ticks;
+  `jax.grad` through the scan transposes the ppermutes into the reverse hops,
+  so the backward pipeline needs no hand-written schedule. Activation memory
+  grows with M (every tick's carry is saved for the transpose).
+* ``schedule="1f1b"`` — steady-state one-forward-one-backward over
+  M + 2(pp − 1) ticks with a hand-written per-tick `jax.vjp` backward.
+  Stage s runs fwd of microbatch ``t − s`` and bwd of microbatch
+  ``t − 2(pp−1) + s`` in the same tick; activation cotangents hop backward
+  via the reversed ppermute. Only the stage INPUT of each in-flight
+  microbatch is stashed (a ring buffer of 2·pp − 1 slots — O(pp), not O(M))
+  and the stage forward is recomputed inside the vjp, so memory is bounded
+  regardless of microbatch count at the cost of one extra stage forward
+  (the same trade `jax.checkpoint` makes). Gradients accumulate in fp32.
 
 Composition: works with tensor parallelism over "model" (each stage row has
 its own TP group; the vocab-parallel embed/loss collectives run on every
@@ -99,13 +112,16 @@ def make_pp_train_step(
     mesh,
     engine_config: EngineConfig = EngineConfig(),
     optimizer=None,
+    schedule: str = "gpipe",
 ):
     """Build the jitted pipelined step.
 
     Without `optimizer`: step(params, batch_arrays) -> (loss, grads, aux).
     With one: step(params, opt_state, batch_arrays) ->
     (params, opt_state, loss, aux). `batch_arrays` comes from
-    `stack_microbatches` ([dp, M, ...] leaves).
+    `stack_microbatches` ([dp, M, ...] leaves). `schedule` picks the
+    microbatch schedule: "gpipe" (autodiff backward, memory ∝ M) or "1f1b"
+    (hand-written per-tick vjp backward, memory ∝ pp).
     """
     mc, ec = model_config, engine_config
     pp = mesh.shape["pipe"]
@@ -114,6 +130,8 @@ def make_pp_train_step(
         raise ValueError("pipeline and sequence parallelism are exclusive")
     if mc.is_moe:
         raise ValueError("pipeline + MoE not supported yet")
+    if schedule not in ("gpipe", "1f1b"):
+        raise ValueError(f"unknown pipeline schedule {schedule!r}")
     pspecs = pp_param_specs(mc, pp)
     bspec = {f: P("data", None, None) for f in _BATCH_FIELDS}
     bspec["kv_counts"] = bspec["q_counts"] = P("data", None, None)
@@ -121,6 +139,153 @@ def make_pp_train_step(
         bspec[f] = P("data", None, None, None)
 
     perm = [(i, (i + 1) % pp) for i in range(pp)]
+    perm_bwd = [(i, (i - 1) % pp) for i in range(pp)]
+
+    def local_step_1f1b(params, batch):
+        stage = jax.lax.axis_index("pipe")
+        toks = batch["tokens"][0]  # [M, n]
+        M, n = toks.shape
+        S = 2 * pp - 1  # ring-buffer slots (max in-flight at stage 0)
+        dtype = params["layers"]["wq"].dtype
+
+        def mb_field(name, mb):
+            return jax.lax.dynamic_index_in_dim(
+                batch[name][0], jnp.clip(mb, 0, M - 1), axis=0, keepdims=False
+            )
+
+        def make_attn(mb):
+            meta = tuple(mb_field(f, mb) for f in _META_FIELDS)
+            ld = mb_field("last_desc", mb)
+            if ec.attn_backend == "reference":
+                return lambda q, k, v: tree_attention_reference(q, k, v, ld)
+            bs = BlockSizes(ec.block_q, ec.block_kv)
+            return lambda q, k, v: tree_attention(
+                q, k, v, ld, *meta, block_sizes=bs, interpret=ec.interpret
+            )
+
+        def stage_layers(p, x, attn_fn, cos, sin):
+            body = functools.partial(
+                _layer_tp, config=mc, attn_fn=attn_fn, tp=tp, axis="model"
+            )
+
+            def scan_fn(carry, lp):
+                out, _lb = body(carry, lp, cos, sin)
+                return out, None
+
+            if ec.remat:
+                from dynamictreeattn_tpu.models.qwen3 import _remat_policy
+
+                scan_fn = jax.checkpoint(
+                    scan_fn, prevent_cse=False,
+                    policy=_remat_policy(ec.remat_policy),
+                )
+            x, _ = jax.lax.scan(scan_fn, x, p["layers"])
+            return x
+
+        def stage_fwd(p, mb, x_prev):
+            """One stage forward (no grad tracking): embed on stage 0, else
+            the received activation, through this stage's layers."""
+            tok = mb_field("tokens", mb)
+            dep = mb_field("depth", mb)
+            cos, sin = rope_tables(dep, mc.head_dim, mc.rope_theta)
+            x0 = _embed_vp(p["embed"], tok, "model").astype(dtype)
+            x_in = jnp.where(stage == 0, x0, x_prev)
+            y = stage_layers(p, x_in, make_attn(mb), cos, sin)
+            return x_in, y
+
+        def stage_out_fn(p, x_in, mb, live):
+            """Stage forward + (masked, last-stage-only) loss — the function
+            whose vjp produces this stage's param grads and input cotangent.
+            The `where` on stage routes d(embed) to stage 0 and dx to the
+            received activation elsewhere."""
+            tok = mb_field("tokens", mb)
+            dep = mb_field("depth", mb)
+            cos, sin = rope_tables(dep, mc.head_dim, mc.rope_theta)
+            x0 = _embed_vp(p["embed"], tok, "model").astype(dtype)
+            xx = jnp.where(stage == 0, x0, x_in)
+            y = stage_layers(p, xx, make_attn(mb), cos, sin)
+            h = mpar_in(rms_norm(y, p["final_norm"], mc.rms_norm_eps), "model")
+            w_local = p["embed"].T if mc.tie_word_embeddings else p["lm_head"]
+            l, aux = vp_tree_loss_from_hidden(
+                h, w_local, tok, mb_field("parent", mb),
+                mb_field("w_logprob", mb), mb_field("w_entropy", mb),
+                ec.temperature, ec.loss_chunk,
+            )
+            return (y, live * l), (live * aux["sum_logprob"],
+                                   live * aux["sum_entropy"])
+
+        def tick(carry, t):
+            y_prev, dx_prev, stash, gacc, loss_acc, lp_acc, ent_acc = carry
+
+            # ---- forward: microbatch t − stage
+            mf = t - stage
+            valid_f = (mf >= 0) & (mf < M)
+            x_in_f, y_f = stage_fwd(params, mf, y_prev)
+            # slot S is a trash slot for bubble ticks (never read back)
+            slot_f = jnp.where(valid_f, jnp.clip(mf, 0, M - 1) % S, S)
+            stash = jax.lax.dynamic_update_index_in_dim(
+                stash, x_in_f, slot_f, axis=0
+            )
+
+            # ---- backward: microbatch t − 2(pp−1) + stage
+            mb = t - 2 * (pp - 1) + stage
+            valid_b = (mb >= 0) & (mb < M)
+            x_in_b = jax.lax.dynamic_index_in_dim(
+                stash, jnp.clip(mb, 0, M - 1) % S, axis=0, keepdims=False
+            )
+            live = ((stage == pp - 1) & valid_b).astype(jnp.float32)
+            (y_b, l_b), vjp_fn, (s_lp, s_ent) = jax.vjp(
+                lambda p, x: stage_out_fn(p, x, mb, live),
+                params, x_in_b, has_aux=True,
+            )
+            # downstream cotangent: from stage+1's bwd of mb last tick; the
+            # last stage (and bubbles) seed zero — the loss cotangent is the
+            # only source there
+            dy = jnp.where(
+                valid_b & (stage < pp - 1), dx_prev, jnp.zeros_like(dx_prev)
+            )
+            dp, dx = vjp_fn((dy.astype(y_b.dtype), jnp.float32(1.0)))
+            gacc = jax.tree.map(
+                lambda a, g: a + g.astype(jnp.float32), gacc, dp
+            )
+            loss_acc = loss_acc + l_b
+            lp_acc = lp_acc + s_lp
+            ent_acc = ent_acc + s_ent
+
+            y_next = jax.lax.ppermute(y_f, "pipe", perm)
+            dx_next = jax.lax.ppermute(dx, "pipe", perm_bwd)
+            return (y_next, dx_next, stash, gacc, loss_acc, lp_acc, ent_acc), None
+
+        x0 = jnp.zeros((n, mc.hidden_size), dtype)
+        stash0 = jnp.zeros((S + 1, n, mc.hidden_size), dtype)
+        gacc0 = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), params
+        )
+        carry = (x0, x0, stash0, gacc0,
+                 jnp.float32(0), jnp.float32(0), jnp.float32(0))
+        (_, _, _, gacc, loss, s_lp, s_ent), _ = jax.lax.scan(
+            tick, carry, jnp.arange(M + 2 * (pp - 1))
+        )
+        grads = jax.tree.map(lambda g, p: g.astype(p.dtype), gacc, params)
+        aux = {"sum_logprob": s_lp, "sum_entropy": s_ent}
+        # loss/aux live on the last stage only; layer grads are stage-local,
+        # everything else (embed at stage 0 + loss head at pp−1, final_norm
+        # at pp−1) is partial per stage → psum over "pipe"
+        loss = jax.lax.psum(loss, "pipe")
+        aux = jax.tree.map(lambda a: jax.lax.psum(a, "pipe"), aux)
+        grads = {
+            k: v if k == "layers" else jax.tree.map(
+                lambda g: jax.lax.psum(g, "pipe"), v
+            )
+            for k, v in grads.items()
+        }
+        if mc.use_qk_norm:
+            for nrm in ("q_norm", "k_norm"):
+                grads["layers"][nrm] = jax.lax.psum(grads["layers"][nrm], "model")
+        grads = jax.tree.map(lambda g: jax.lax.psum(g, "data"), grads)
+        loss = jax.lax.psum(loss, "data")
+        aux = jax.tree.map(lambda a: jax.lax.psum(a, "data"), aux)
+        return loss, grads, aux
 
     def local_step(params, batch):
         stage = jax.lax.axis_index("pipe")
@@ -229,6 +394,8 @@ def make_pp_train_step(
         aux = jax.tree.map(lambda a: jax.lax.psum(a, "data"), aux)
         return loss, grads, aux
 
+    local_fn = local_step_1f1b if schedule == "1f1b" else local_step
+
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
@@ -237,7 +404,7 @@ def make_pp_train_step(
         check_vma=False,
     )
     def step(params, batch):
-        return local_step(params, batch)
+        return local_fn(params, batch)
 
     grad_step = jax.jit(step)
     if optimizer is None:

@@ -38,7 +38,8 @@ class TrainConfig:
     dp: int = 1
     tp: int = 1
     sp: int = 1  # Ulysses sequence parallelism over the "seq" axis
-    pp: int = 1  # GPipe pipeline stages over the "pipe" axis
+    pp: int = 1  # pipeline stages over the "pipe" axis
+    pp_schedule: str = "gpipe"  # or "1f1b" (O(pp) activation memory)
     microbatches: int = 4  # microbatches per data rank when pp > 1
     learning_rate: float = 1e-5
     warmup_steps: int = 0  # linear warmup into a constant schedule
@@ -96,7 +97,8 @@ class Trainer:
             if train_config.fsdp:
                 raise ValueError("fsdp + pipeline not supported yet")
             self._step_fn = make_pp_train_step(
-                self.mc, self.mesh, self.ec, optimizer=self.optimizer
+                self.mc, self.mesh, self.ec, optimizer=self.optimizer,
+                schedule=train_config.pp_schedule,
             )
         else:
             self._step_fn = make_train_step(

@@ -1,6 +1,8 @@
 """Multi-device tests on the fake 8-device CPU mesh (SURVEY.md §4: the
 reference never had multi-device tests; these validate DP+TP end to end)."""
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -229,6 +231,45 @@ def test_pipeline_step_matches_single_device(dp, pp, tp, M):
     loss, grads, aux = step(shard_params_pp(params, mesh, TINY), batch.arrays)
 
     engine = TreeEngine(TINY, ECFG)
+    total_loss, total_grads = 0.0, None
+    for t in flat_tries:
+        l, g, _ = engine.loss_and_grad(params, engine.prepare(t))
+        total_loss += float(l)
+        total_grads = g if total_grads is None else jax.tree.map(
+            jnp.add, total_grads, g
+        )
+    np.testing.assert_allclose(float(loss), total_loss, rtol=1e-4)
+    rows_cmp = compare_grads(total_grads, jax.device_get(grads))
+    assert rows_cmp[0][1] < 1e-3, rows_cmp[0]
+
+
+@pytest.mark.parametrize("dp,pp,tp,M", [(1, 2, 1, 3), (1, 2, 2, 2), (1, 4, 1, 6)])
+def test_pipeline_1f1b_matches_single_device(dp, pp, tp, M):
+    """1F1B schedule: hand-written per-tick vjp backward must reproduce the
+    oracle loss + grads exactly like the autodiff GPipe schedule."""
+    from dynamictreeattn_tpu.parallel import (
+        make_pp_train_step, shard_params_pp, stack_microbatches,
+    )
+
+    rng = np.random.default_rng(31)
+    cfg = dataclasses.replace(TINY, num_hidden_layers=max(2, pp))
+    rows, flat_tries = [], []
+    for _ in range(dp):
+        row = [
+            TokenTrie(*random_trie_batch(
+                rng, n_seqs=5, vocab=cfg.vocab_size, max_len=20
+            ))
+            for _ in range(M)
+        ]
+        rows.append(row)
+        flat_tries.extend(row)
+    mesh = make_mesh(dp=dp, tp=tp, pp=pp)
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    step = make_pp_train_step(cfg, mesh, ECFG, schedule="1f1b")
+    batch = stack_microbatches(rows, ECFG)
+    loss, grads, aux = step(shard_params_pp(params, mesh, cfg), batch.arrays)
+
+    engine = TreeEngine(cfg, ECFG)
     total_loss, total_grads = 0.0, None
     for t in flat_tries:
         l, g, _ = engine.loss_and_grad(params, engine.prepare(t))

@@ -114,6 +114,17 @@ def test_trainer_pipeline_descends():
     assert hist[-1]["loss"] < hist[0]["loss"]
 
 
+def test_trainer_pipeline_1f1b_descends():
+    """Trainer with the 1F1B schedule trains end to end."""
+    tc = TrainConfig(dp=1, tp=2, pp=2, pp_schedule="1f1b", microbatches=2,
+                     learning_rate=1e-3, param_dtype="fp32", lb_block_size=32)
+    tr = Trainer(TINY, ECFG, tc)
+    tr.init(seed=0)
+    seqs, attachs = next(iter(_batches(1)))
+    hist = tr.fit([(seqs, attachs)] * 6)
+    assert hist[-1]["loss"] < hist[0]["loss"]
+
+
 def test_trainer_fsdp_descends():
     """Trainer with ZeRO-3 sharding trains end to end (fixed batch → descent)."""
     tc = TrainConfig(dp=2, tp=2, learning_rate=1e-3, param_dtype="fp32",
