@@ -44,6 +44,9 @@ def main(argv=None):
     p.add_argument("--grad-clip", type=float, default=1.0)
     p.add_argument("--grad-accum", type=int, default=1)
     p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--ep", action="store_true",
+                   help="MoE: shard experts over the data axis with token "
+                        "all-to-all dispatch (E >> tp regime)")
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO-3: shard params/grads/opt state over the data axis")
     p.add_argument("--fsdp-min-size", type=int, default=1 << 16,
@@ -69,7 +72,7 @@ def main(argv=None):
         microbatches=args.microbatches, learning_rate=args.lr,
         weight_decay=args.weight_decay, grad_clip=args.grad_clip,
         grad_accum=args.grad_accum, warmup_steps=args.warmup_steps,
-        fsdp=args.fsdp, fsdp_min_size=args.fsdp_min_size,
+        fsdp=args.fsdp, fsdp_min_size=args.fsdp_min_size, ep=args.ep,
         param_dtype=args.dtype if args.dtype == "bf16" else "fp32",
         lb_method=args.lb_method, lb_block_size=args.block_q,
         ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every,

@@ -66,7 +66,7 @@ def _embed_vp(embed_local, tokens, axis):
 
 def _layer_tp(
     x, lp, cos, sin, config: Qwen3Config, attn_fn, tp: int, axis: str,
-    sp: int = 1, seq_axis: str = "seq",
+    sp: int = 1, seq_axis: str = "seq", ep: int = 1, ep_axis: str = "data",
 ):
     c = config
     n = x.shape[0]
@@ -118,7 +118,10 @@ def _layer_tp(
 
     h_norm = rms_norm(x, lp["ln2"], eps)
     if c.is_moe:
-        x, lb = _moe_block_ep(x, h_norm, lp, c, tp, axis)
+        if ep > 1:
+            x, lb = _moe_block_ep_a2a(x, h_norm, lp, c, tp, axis, ep, ep_axis)
+        else:
+            x, lb = _moe_block_ep(x, h_norm, lp, c, tp, axis)
         return x, lb
     h = mpar_in(h_norm, axis)
     act = jax.nn.silu((h @ lp["gate"]).astype(jnp.float32)).astype(h.dtype)
@@ -162,6 +165,93 @@ def _moe_block_ep(x, h_norm, lp, c: Qwen3Config, tp: int, axis: str):
     return x + mpar_out(y_partial, axis).astype(x.dtype), lb
 
 
+def _moe_block_ep_a2a(x, h_norm, lp, c: Qwen3Config, tp: int, axis: str,
+                      ep: int, ep_axis: str):
+    """Expert parallelism over the `ep_axis` ("data") via token all-to-all,
+    composed with expert sharding over `axis` ("model"): expert e lives on
+    (data rank e // (E/ep), model rank (e % (E/ep)) // (E/(ep·tp))).
+
+    DeepSpeed-MoE/GShard-style dispatch for E ≫ tp: each rank routes its own
+    tokens (router replicated over "model"), packs the (token, choice) pairs
+    destined to each data rank into a static [ep, C, d] buffer (GShard
+    capacity drop past C), all-to-alls tokens + local-expert ids over
+    `ep_axis`, runs the batched expert GEMMs on the received set (further
+    sharded over "model" exactly like _moe_block_ep), all-to-alls the outputs
+    back, and combines with the locally-kept routing weights. `jax.grad`
+    transposes the all-to-alls into the reverse exchanges — no hand-written
+    backward. Expert-weight grads are rank-exact (each expert has one owner;
+    the train step skips the "data" grad psum for expert leaves)."""
+    import math
+
+    from dynamictreeattn_tpu.models.qwen3 import moe_apply
+
+    n, d = h_norm.shape
+    E, k = c.num_experts, c.num_experts_per_tok
+    e_owned = E // ep  # experts per data rank
+    e_local = e_owned // tp  # ... per (data, model) rank
+    # --- routing: rank-local tokens, replicated over "model"
+    logits = jnp.dot(h_norm, lp["router"], preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)  # [n, E] fp32
+    w, idx = jax.lax.top_k(probs, k)
+    if c.norm_topk_prob:
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+    nk = n * k
+    counts = jnp.zeros((E,), jnp.float32).at[idx.reshape(-1)].add(1.0)
+    lb = E * jnp.sum((counts / nk) * jnp.mean(probs, axis=0))
+
+    # --- dispatch: pack pairs by destination data rank (stable sort → the
+    # within-source order is preserved, so drops are deterministic)
+    C = int(math.ceil(c.moe_capacity_factor * nk / ep))
+    flat_e = idx.reshape(-1)  # [nk] global expert ids
+    flat_w = w.reshape(-1)
+    dest = flat_e // e_owned
+    order = jnp.argsort(dest, stable=True)
+    sorted_dest = jnp.take(dest, order)
+    starts = jnp.searchsorted(sorted_dest, jnp.arange(ep))
+    rank_in = jnp.arange(nk) - jnp.take(starts, sorted_dest)
+    keep = rank_in < C
+    slot = jnp.where(keep, sorted_dest * C + rank_in, ep * C)  # last = trash
+    tok = order // k
+    xs = jnp.take(h_norm, tok, axis=0)  # [nk, d]
+    send_x = (
+        jnp.zeros((ep * C + 1, d), h_norm.dtype)
+        .at[slot]
+        .add(xs * keep[:, None].astype(h_norm.dtype))
+    )[:-1].reshape(ep, C, d)
+    local_e = jnp.take(flat_e, order) - sorted_dest * e_owned
+    send_e = (
+        jnp.full((ep * C + 1,), -1, jnp.int32)
+        .at[slot]
+        .set(jnp.where(keep, local_e, -1).astype(jnp.int32))
+    )[:-1].reshape(ep, C)
+
+    recv_x = jax.lax.all_to_all(send_x, ep_axis, split_axis=0, concat_axis=0)
+    recv_e = jax.lax.all_to_all(send_e, ep_axis, split_axis=0, concat_axis=0)
+
+    # --- expert compute on the received set, sharded over "model"
+    h_recv = recv_x.reshape(ep * C, d)
+    e_recv = recv_e.reshape(ep * C)
+    m_off = jax.lax.axis_index(axis) * e_local
+    cap_local = int(math.ceil(c.moe_capacity_factor * ep * nk / E))
+    y_part = moe_apply(
+        mpar_in(h_recv, axis),
+        lp["e_gate"], lp["e_up"], lp["e_down"],
+        (e_recv - m_off)[:, None],  # off-rank / padding(-1) entries skipped
+        jnp.ones((ep * C, 1), jnp.float32),  # combine weights applied at source
+        cap_local,
+    )
+    y_full = mpar_out(y_part, axis)  # [ep·C, d], psum over "model"
+
+    # --- return + combine at source with the locally-kept weights
+    y_back = jax.lax.all_to_all(
+        y_full.reshape(ep, C, d), ep_axis, split_axis=0, concat_axis=0
+    ).reshape(ep * C, d)
+    ys = jnp.take(y_back, jnp.minimum(slot, ep * C - 1), axis=0)
+    val = ys.astype(jnp.float32) * (keep * jnp.take(flat_w, order))[:, None]
+    out = jnp.zeros((n, d), jnp.float32).at[tok].add(val)
+    return x + out.astype(x.dtype), lb
+
+
 def forward_hidden_tp(
     params_local: dict,
     config: Qwen3Config,
@@ -176,6 +266,8 @@ def forward_hidden_tp(
     unshard_fn=None,
     sp: int = 1,
     seq_axis: str = "seq",
+    ep: int = 1,
+    ep_axis: str = "data",
 ):
     """Like models.qwen3.forward_hidden_aux but on tp-sharded local params.
     Returns (hidden, aux) with aux["lb_loss"] the summed router
@@ -198,7 +290,7 @@ def forward_hidden_tp(
 
     body = functools.partial(
         _layer_tp, config=c, attn_fn=attn_fn, tp=tp, axis=axis, sp=sp,
-        seq_axis=seq_axis,
+        seq_axis=seq_axis, ep=ep, ep_axis=ep_axis,
     )
 
     def scan_fn(carry, lp):

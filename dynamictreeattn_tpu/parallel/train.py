@@ -43,12 +43,14 @@ __all__ = [
 ]
 
 
-def param_specs(config: Qwen3Config) -> dict:
+def param_specs(config: Qwen3Config, ep: int = 1) -> dict:
     """PartitionSpecs for the Qwen3 param pytree over the "model" axis.
 
     Vocab-sharded embedding co-designs with the vocab-parallel loss (tied LM
     head shares the shard); attention sharded by heads (GQA co-located);
-    MLP column/row-sharded — the standard Megatron layout."""
+    MLP column/row-sharded — the standard Megatron layout. With `ep > 1`
+    (expert parallelism over the "data" axis, token all-to-all dispatch),
+    the expert dim shards data-major over ("data", "model")."""
     layer_specs = {
         "ln1": P(None, None),
         "ln2": P(None, None),
@@ -58,11 +60,13 @@ def param_specs(config: Qwen3Config) -> dict:
         "wo": P(None, "model", None),
     }
     if config.is_moe:
-        # expert parallelism over "model": experts shard, router replicated
+        # expert parallelism: experts shard over ("data",)"model", router
+        # replicated
+        e_spec = ("data", "model") if ep > 1 else "model"
         layer_specs["router"] = P(None, None, None)
-        layer_specs["e_gate"] = P(None, "model", None, None)
-        layer_specs["e_up"] = P(None, "model", None, None)
-        layer_specs["e_down"] = P(None, "model", None, None)
+        layer_specs["e_gate"] = P(None, e_spec, None, None)
+        layer_specs["e_up"] = P(None, e_spec, None, None)
+        layer_specs["e_down"] = P(None, e_spec, None, None)
     else:
         layer_specs["gate"] = P(None, None, "model")
         layer_specs["up"] = P(None, None, "model")
@@ -87,7 +91,9 @@ def param_specs(config: Qwen3Config) -> dict:
 FSDP_MIN_SIZE = 1 << 16  # per-layer elems below which a leaf stays replicated
 
 
-def fsdp_dims(config: Qwen3Config, dp: int, min_size: int = FSDP_MIN_SIZE) -> dict:
+def fsdp_dims(
+    config: Qwen3Config, dp: int, min_size: int = FSDP_MIN_SIZE, ep: int = 1
+) -> dict:
     """Which dim of each param shards over "data" (ZeRO-3); -1 = replicated.
 
     A dim qualifies if the TP spec leaves it free (and it is not the stacked
@@ -96,13 +102,20 @@ def fsdp_dims(config: Qwen3Config, dp: int, min_size: int = FSDP_MIN_SIZE) -> di
     every scan step would be ICI-latency-bound for no memory win. The
     reference has no FSDP counterpart in-repo; its docstrings assume a host
     FSDP wrapper (reference: vocab_parallel.py:406-414) — here it is native."""
-    specs = param_specs(config)
+    specs = param_specs(config, ep)
     shapes = jax.eval_shape(
         functools.partial(init_params, config, jax.random.key(0))
     )
 
     def pick(path, shape_struct, spec):
         shape = shape_struct.shape
+        # expert leaves under ep already consume "data" (permanently sharded,
+        # never gathered) — they are outside ZeRO's scope
+        if any(
+            "data" in (p if isinstance(p, tuple) else (p,))
+            for p in spec if p is not None
+        ):
+            return -1
         in_layers = any(
             getattr(k, "key", None) == "layers" for k in path
         )
@@ -135,13 +148,13 @@ def _with_data_axis(spec: P, dim: int) -> P:
 
 
 def fsdp_param_specs(
-    config: Qwen3Config, dp: int, min_size: int = FSDP_MIN_SIZE
+    config: Qwen3Config, dp: int, min_size: int = FSDP_MIN_SIZE, ep: int = 1
 ) -> dict:
     """param_specs with "data" added on each leaf's fsdp dim (ZeRO-3 layout)."""
     return jax.tree.map(
         _with_data_axis,
-        param_specs(config),
-        fsdp_dims(config, dp, min_size),
+        param_specs(config, ep),
+        fsdp_dims(config, dp, min_size, ep),
         is_leaf=lambda x: isinstance(x, P),
     )
 
@@ -152,11 +165,12 @@ def shard_params(
     config: Qwen3Config,
     fsdp: bool = False,
     fsdp_min_size: int = FSDP_MIN_SIZE,
+    ep: int = 1,
 ) -> dict:
     if fsdp:
-        specs = fsdp_param_specs(config, mesh.shape["data"], fsdp_min_size)
+        specs = fsdp_param_specs(config, mesh.shape["data"], fsdp_min_size, ep)
     else:
-        specs = param_specs(config)
+        specs = param_specs(config, ep)
     return jax.tree.map(
         lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
         params,
@@ -284,6 +298,7 @@ def make_train_step(
     optimizer=None,
     fsdp: bool = False,
     fsdp_min_size: int = FSDP_MIN_SIZE,
+    ep: bool = False,
 ):
     """Build the jitted sharded step.
 
@@ -295,6 +310,11 @@ def make_train_step(
     ZeRO-3-sharded over "data": each layer is all-gathered inside the remat'd
     scan body (re-gathered in backward), and the all_gather transpose yields
     reduce-scattered gradients — no separate grad psum for fsdp leaves.
+
+    With `ep=True` (MoE configs), experts additionally shard over the full
+    "data" axis with token all-to-all dispatch (tp_model._moe_block_ep_a2a):
+    expert weights/grads/optimizer state are permanently data-sharded (E ≫ tp
+    regime); their grads skip the "data" psum (each expert has one owner).
     """
     mc, ec = model_config, engine_config
     tp = mesh.shape["model"]
@@ -307,13 +327,22 @@ def make_train_step(
             f"{mc.num_key_value_heads // tp} (= {mc.num_key_value_heads} kv "
             f"heads / tp={tp})"
         )
+    ep_size = dp if (ep and mc.is_moe) else 1
+    if ep and not mc.is_moe:
+        raise ValueError("ep=True requires a MoE model config")
+    if ep_size > 1 and (
+        mc.num_experts % ep_size or (mc.num_experts // ep_size) % tp
+    ):
+        raise ValueError(
+            f"experts {mc.num_experts} must divide ep={ep_size} × tp={tp}"
+        )
     fsdp = fsdp and dp > 1
     if fsdp:
-        dims = fsdp_dims(mc, dp, fsdp_min_size)
-        pspecs = fsdp_param_specs(mc, dp, fsdp_min_size)
+        dims = fsdp_dims(mc, dp, fsdp_min_size, ep_size)
+        pspecs = fsdp_param_specs(mc, dp, fsdp_min_size, ep_size)
     else:
         dims = None
-        pspecs = param_specs(mc)
+        pspecs = param_specs(mc, ep_size)
     bspec = {f: P("data", None) for f in _BATCH_FIELDS}
     bspec["kv_counts"] = bspec["q_counts"] = P("data", None)
     for f in ("kv_ids", "kv_types", "q_ids", "q_types"):
@@ -384,6 +413,7 @@ def make_train_step(
                 remat_segments=ec.remat_segments,
                 unshard_fn=unshard_layer,
                 sp=sp,
+                ep=ep_size,
             )
             w_local = p["embed"].T if mc.tie_word_embeddings else p["lm_head"]
             if sp > 1:
@@ -417,15 +447,27 @@ def make_train_step(
         if mc.use_qk_norm:
             for nrm in ("q_norm", "k_norm"):
                 grads["layers"][nrm] = jax.lax.psum(grads["layers"][nrm], "model")
+        def _is_expert_leaf(path):
+            return ep_size > 1 and any(
+                getattr(k, "key", None) in ("e_gate", "e_up", "e_down")
+                for k in path
+            )
+
         if fsdp:
             # fsdp'd leaves already arrive reduce-scattered over "data" (the
-            # all_gather transpose); only replicated leaves still need the psum
-            grads = jax.tree.map(
-                lambda g, d: g if d >= 0 else jax.lax.psum(g, "data"),
+            # all_gather transpose); expert leaves under ep are data-sharded
+            # with exact rank-local grads; only replicated leaves need the psum
+            grads = jax.tree_util.tree_map_with_path(
+                lambda pth, g, d: g if (d >= 0 or _is_expert_leaf(pth))
+                else jax.lax.psum(g, "data"),
                 grads, dims,
             )
         else:
-            grads = jax.tree.map(lambda g: jax.lax.psum(g, "data"), grads)
+            grads = jax.tree_util.tree_map_with_path(
+                lambda pth, g: g if _is_expert_leaf(pth)
+                else jax.lax.psum(g, "data"),
+                grads,
+            )
         loss = jax.lax.psum(loss, "data")
         aux = jax.tree.map(lambda a: jax.lax.psum(a, "data"), aux)
         return loss, grads, aux

@@ -47,6 +47,7 @@ class TrainConfig:
     grad_clip: float = 1.0
     grad_accum: int = 1  # optax.MultiSteps microbatch accumulation
     fsdp: bool = False  # ZeRO-3 param/grad/opt-state sharding over "data"
+    ep: bool = False  # MoE expert parallelism over "data" (token all-to-all)
     fsdp_min_size: int = 1 << 16  # leave smaller per-layer leaves replicated
     param_dtype: str = "bf16"
     lb_method: str = "LB_by_DFS_and_TM"  # or "LB_by_n_tokens"
@@ -105,6 +106,7 @@ class Trainer:
                 self.mc, self.mesh, self.ec, optimizer=self.optimizer,
                 fsdp=train_config.fsdp,
                 fsdp_min_size=train_config.fsdp_min_size,
+                ep=train_config.ep,
             )
         self.params = None
         self.opt_state = None
@@ -131,6 +133,8 @@ class Trainer:
             self.params = shard_params(
                 params, self.mesh, self.mc, fsdp=self.tc.fsdp,
                 fsdp_min_size=self.tc.fsdp_min_size,
+                ep=self.mesh.shape["data"] if (self.tc.ep and self.mc.is_moe)
+                else 1,
             )
         self.opt_state = init_opt_state(self.optimizer, self.params)
 

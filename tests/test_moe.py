@@ -172,6 +172,48 @@ def test_moe_expert_parallel_matches_single_device(dp, tp):
     assert rows[0][1] < 1e-3, rows[:3]
 
 
+@pytest.mark.parametrize("dp,tp", [(2, 1), (2, 2), (4, 2)])
+def test_moe_ep_a2a_matches_single_device(dp, tp):
+    """EP over "data" (token all-to-all dispatch): sharded step == summed
+    single-chip engine. Ample capacity so neither side drops tokens (the
+    two-stage a2a capacity ranks pairs globally, the single-chip oracle
+    per rank — only drop-free runs are bit-comparable)."""
+    import dataclasses
+
+    from dynamictreeattn_tpu.parallel import (
+        make_mesh, make_train_step, shard_params, stack_batches,
+    )
+    from dynamictreeattn_tpu.utils import compare_grads
+
+    cfg = dataclasses.replace(MOE, moe_capacity_factor=float(MOE.num_experts))
+    rng = np.random.default_rng(11)
+    tries = []
+    for _ in range(dp):
+        seqs, attachs = random_trie_batch(
+            rng, n_seqs=6, vocab=cfg.vocab_size, max_len=20
+        )
+        tries.append(TokenTrie(seqs, attachs))
+    mesh = make_mesh(dp=dp, tp=tp)
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    step = make_train_step(cfg, mesh, ECFG, ep=True)
+    batch = stack_batches(tries, ECFG)
+    loss, grads, aux = step(
+        shard_params(params, mesh, cfg, ep=dp), batch.arrays
+    )
+
+    engine = TreeEngine(cfg, ECFG)
+    total_loss, total_grads = 0.0, None
+    for t in tries:
+        l, g, _ = engine.loss_and_grad(params, engine.prepare(t))
+        total_loss += float(l)
+        total_grads = g if total_grads is None else jax.tree.map(
+            jnp.add, total_grads, g
+        )
+    np.testing.assert_allclose(float(loss), total_loss, rtol=1e-4)
+    rows = compare_grads(total_grads, jax.device_get(grads))
+    assert rows[0][1] < 1e-3, rows[:3]
+
+
 def test_moe_logits_match_hf():
     """JAX MoE forward == HF Qwen3MoeForCausalLM on the same weights.
 
