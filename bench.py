@@ -62,9 +62,13 @@ def main():
     # The tree engine may use a lighter remat than the dense baseline: the
     # trie packs ~5x fewer tokens, so activations that OOM dense can fit tree
     # (the reference's dense baseline likewise needs --act-ckpt at scale,
-    # reference: exp/exp_dense.py:11-15). Defaults keep both identical.
+    # reference: exp/exp_dense.py:11-15). Default: tree saves the attention
+    # kernel outputs ("attn" policy — fwd kernel runs once per step, measured
+    # 13% step win; ~1.8GB at 0.6B/15k tokens) while dense keeps full
+    # recompute (saving o at its ~4x padded length OOMs the chip — each
+    # engine runs its best feasible config).
     t_remat = os.environ.get("DTA_BENCH_TREE_REMAT")
-    t_policy = os.environ.get("DTA_BENCH_TREE_POLICY")
+    t_policy = os.environ.get("DTA_BENCH_TREE_POLICY", "attn")
     ec_tree = ec
     if t_remat is not None or t_policy is not None:
         import dataclasses

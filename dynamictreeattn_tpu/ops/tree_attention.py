@@ -67,6 +67,7 @@ class BlockSizes:
 
 def _fwd_kernel(
     # scalar prefetch
+    offs_ref,
     ids_ref,
     counts_ref,
     types_ref,
@@ -104,11 +105,13 @@ def _fwd_kernel(
         kv_id = ids_ref[i, s]
         k = k_ref[0]  # [bkv, dh]
         v = v_ref[0]
-        # interval mask, shared across the q-head group
-        row_pos = i * block_q + jax.lax.broadcasted_iota(
+        # interval mask, shared across the q-head group; offs holds the
+        # global position offsets of this (q, kv) shard pair (0 outside
+        # ring-attention mode)
+        row_pos = offs_ref[0] + i * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_kv), 0
         )
-        col_pos = kv_id * block_kv + jax.lax.broadcasted_iota(
+        col_pos = offs_ref[1] + kv_id * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_kv), 1
         )
         ld = ld_ref[0]  # [bkv] int32
@@ -153,26 +156,36 @@ def _fwd_kernel(
             lse_ref[0, gi] = m_scr[sl] + jnp.log(jnp.maximum(l_scr[sl], 1e-30))
 
 
-def _fwd(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret):
+def _fwd(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret,
+         offs=None):
+    """offs = [q_pos_offset, kv_pos_offset] int32 — global positions of the
+    first q row / first kv row (ring attention shard pairs); ld2 is the FULL
+    [1, n_global] last_desc and its blocks are indexed at the kv offset."""
     hkv, group, n, dh = q4.shape
     bq, bkv = bs.block_q, bs.block_kv
     nq = n // bq
     slots = kv_ids.shape[1]
     grid = (hkv, nq, slots)
+    if offs is None:
+        offs = jnp.zeros((2,), jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, group, bq, dh), lambda h, i, s, ids, cnt, typ: (h, 0, i, 0)),
-            pl.BlockSpec((1, bkv, dh), lambda h, i, s, ids, cnt, typ: (h, ids[i, s], 0)),
-            pl.BlockSpec((1, bkv, dh), lambda h, i, s, ids, cnt, typ: (h, ids[i, s], 0)),
-            pl.BlockSpec((1, bkv), lambda h, i, s, ids, cnt, typ: (0, ids[i, s])),
+            pl.BlockSpec((1, group, bq, dh), lambda h, i, s, off, ids, cnt, typ: (h, 0, i, 0)),
+            pl.BlockSpec((1, bkv, dh), lambda h, i, s, off, ids, cnt, typ: (h, ids[i, s], 0)),
+            pl.BlockSpec((1, bkv, dh), lambda h, i, s, off, ids, cnt, typ: (h, ids[i, s], 0)),
+            pl.BlockSpec(
+                (1, bkv),
+                lambda h, i, s, off, ids, cnt, typ: (0, off[1] // bkv + ids[i, s]),
+            ),
         ],
         out_specs=[
-            pl.BlockSpec((1, group, bq, dh), lambda h, i, s, ids, cnt, typ: (h, 0, i, 0)),
+            pl.BlockSpec((1, group, bq, dh), lambda h, i, s, off, ids, cnt, typ: (h, 0, i, 0)),
             pl.BlockSpec(
-                (1, group, bq, NUM_LANES), lambda h, i, s, ids, cnt, typ: (h, 0, i, 0)
+                (1, group, bq, NUM_LANES),
+                lambda h, i, s, off, ids, cnt, typ: (h, 0, i, 0),
             ),
         ],
         scratch_shapes=[
@@ -196,7 +209,7 @@ def _fwd(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret):
         ),
         interpret=_interpret_mode(interpret),
         name="tree_attention_fwd",
-    )(kv_ids, kv_counts, kv_types, q4, k, v, ld2)
+    )(offs.astype(jnp.int32), kv_ids, kv_counts, kv_types, q4, k, v, ld2)
     return o, lse_full[..., 0]  # lse: [hkv, group, n]
 
 
@@ -204,6 +217,7 @@ def _fwd(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret):
 
 
 def _dq_kernel(
+    offs_ref,
     ids_ref,
     counts_ref,
     types_ref,
@@ -237,10 +251,10 @@ def _dq_kernel(
         k = k_ref[0]
         v = v_ref[0]
         # k-major orientation: rows = kv positions, lanes = q positions.
-        k_pos = kv_id * block_kv + jax.lax.broadcasted_iota(
+        k_pos = offs_ref[1] + kv_id * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, (block_kv, block_q), 0
         )
-        q_pos = i * block_q + jax.lax.broadcasted_iota(
+        q_pos = offs_ref[0] + i * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_kv, block_q), 1
         )
         ld_col = jnp.expand_dims(ld_ref[0], -1)  # [bkv, 1]
@@ -283,20 +297,26 @@ def _dq_kernel(
             dq_ref[0, gi] = dq_scr[sl].astype(dq_ref.dtype)
 
 
-def _bwd_dq(q4, k, v, ld2, kv_ids, kv_counts, kv_types, do, lse, di, scale, bs, interpret):
+def _bwd_dq(q4, k, v, ld2, kv_ids, kv_counts, kv_types, do, lse, di, scale, bs,
+            interpret, offs=None):
     hkv, group, n, dh = q4.shape
     bq, bkv = bs.block_q, bs.block_kv
     nq = n // bq
     slots = kv_ids.shape[1]
+    if offs is None:
+        offs = jnp.zeros((2,), jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(hkv, nq, slots),
         in_specs=[
             pl.BlockSpec((1, group, bq, dh), lambda h, i, s, *_: (h, 0, i, 0)),
-            pl.BlockSpec((1, bkv, dh), lambda h, i, s, ids, *_: (h, ids[i, s], 0)),
-            pl.BlockSpec((1, bkv, dh), lambda h, i, s, ids, *_: (h, ids[i, s], 0)),
-            pl.BlockSpec((1, bkv), lambda h, i, s, ids, *_: (0, ids[i, s])),
+            pl.BlockSpec((1, bkv, dh), lambda h, i, s, off, ids, *_: (h, ids[i, s], 0)),
+            pl.BlockSpec((1, bkv, dh), lambda h, i, s, off, ids, *_: (h, ids[i, s], 0)),
+            pl.BlockSpec(
+                (1, bkv),
+                lambda h, i, s, off, ids, *_: (0, off[1] // bkv + ids[i, s]),
+            ),
             pl.BlockSpec((1, group, bq, dh), lambda h, i, s, *_: (h, 0, i, 0)),
             pl.BlockSpec((1, group, bq), lambda h, i, s, *_: (h, 0, i)),
             pl.BlockSpec((1, group, bq), lambda h, i, s, *_: (h, 0, i)),
@@ -318,7 +338,7 @@ def _bwd_dq(q4, k, v, ld2, kv_ids, kv_counts, kv_types, do, lse, di, scale, bs, 
         ),
         interpret=_interpret_mode(interpret),
         name="tree_attention_bwd_dq",
-    )(kv_ids, kv_counts, kv_types, q4, k, v, ld2, do, lse, di)
+    )(offs.astype(jnp.int32), kv_ids, kv_counts, kv_types, q4, k, v, ld2, do, lse, di)
     return dq
 
 
@@ -326,6 +346,7 @@ def _bwd_dq(q4, k, v, ld2, kv_ids, kv_counts, kv_types, do, lse, di, scale, bs, 
 
 
 def _dkv_kernel(
+    offs_ref,
     ids_ref,
     counts_ref,
     types_ref,
@@ -361,10 +382,10 @@ def _dkv_kernel(
         q_id = ids_ref[j, s]
         k = k_ref[0]
         v = v_ref[0]
-        k_pos = j * block_kv + jax.lax.broadcasted_iota(
+        k_pos = offs_ref[1] + j * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, (block_kv, block_q), 0
         )
-        q_pos = q_id * block_q + jax.lax.broadcasted_iota(
+        q_pos = offs_ref[0] + q_id * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_kv, block_q), 1
         )
         ld_col = jnp.expand_dims(ld_ref[0], -1)
@@ -411,23 +432,29 @@ def _dkv_kernel(
         dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _bwd_dkv(q4, k, v, ld2, q_ids, q_counts, q_types, do, lse, di, scale, bs, interpret):
+def _bwd_dkv(q4, k, v, ld2, q_ids, q_counts, q_types, do, lse, di, scale, bs,
+             interpret, offs=None):
     hkv, group, n, dh = q4.shape
+    nkv = k.shape[1]
     bq, bkv = bs.block_q, bs.block_kv
-    nk = n // bkv
+    nk = nkv // bkv
     slots = q_ids.shape[1]
+    if offs is None:
+        offs = jnp.zeros((2,), jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(hkv, nk, slots),
         in_specs=[
-            pl.BlockSpec((1, group, bq, dh), lambda h, j, s, ids, *_: (h, 0, ids[j, s], 0)),
+            pl.BlockSpec((1, group, bq, dh), lambda h, j, s, off, ids, *_: (h, 0, ids[j, s], 0)),
             pl.BlockSpec((1, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
             pl.BlockSpec((1, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
-            pl.BlockSpec((1, bkv), lambda h, j, s, *_: (0, j)),
-            pl.BlockSpec((1, group, bq, dh), lambda h, j, s, ids, *_: (h, 0, ids[j, s], 0)),
-            pl.BlockSpec((1, group, bq), lambda h, j, s, ids, *_: (h, 0, ids[j, s])),
-            pl.BlockSpec((1, group, bq), lambda h, j, s, ids, *_: (h, 0, ids[j, s])),
+            pl.BlockSpec(
+                (1, bkv), lambda h, j, s, off, *_: (0, off[1] // bkv + j)
+            ),
+            pl.BlockSpec((1, group, bq, dh), lambda h, j, s, off, ids, *_: (h, 0, ids[j, s], 0)),
+            pl.BlockSpec((1, group, bq), lambda h, j, s, off, ids, *_: (h, 0, ids[j, s])),
+            pl.BlockSpec((1, group, bq), lambda h, j, s, off, ids, *_: (h, 0, ids[j, s])),
         ],
         out_specs=[
             pl.BlockSpec((1, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
@@ -453,7 +480,7 @@ def _bwd_dkv(q4, k, v, ld2, q_ids, q_counts, q_types, do, lse, di, scale, bs, in
         ),
         interpret=_interpret_mode(interpret),
         name="tree_attention_bwd_dkv",
-    )(q_ids, q_counts, q_types, q4, k, v, ld2, do, lse, di)
+    )(offs.astype(jnp.int32), q_ids, q_counts, q_types, q4, k, v, ld2, do, lse, di)
     return dk, dv
 
 

@@ -47,6 +47,19 @@ for case in cases:
         bench("base (remat, chunk1024, 256/256)", EngineConfig())
     elif case == "remat_dots":
         bench("remat policy=dots", EngineConfig(remat_policy="dots"))
+    elif case == "remat_attn":
+        bench("remat policy=attn", EngineConfig(remat_policy="attn"))
+    elif case == "remat_attn_dots":
+        bench("remat policy=attn_dots", EngineConfig(remat_policy="attn_dots"))
+    elif case == "base512":
+        bench("base (remat, chunk1024, 512/512)",
+              EngineConfig(block_q=512, block_kv=512))
+    elif case == "attn512":
+        bench("remat policy=attn, 512/512",
+              EngineConfig(block_q=512, block_kv=512, remat_policy="attn"))
+    elif case == "attn_dots512":
+        bench("remat policy=attn_dots, 512/512",
+              EngineConfig(block_q=512, block_kv=512, remat_policy="attn_dots"))
     elif case == "no_remat":
         bench("no remat", EngineConfig(remat=False))
     elif case == "chunk4096":
