@@ -31,7 +31,10 @@ def main(argv=None):
     p.add_argument("--dp", type=int, default=1)
     p.add_argument("--tp", type=int, default=1)
     p.add_argument("--sp", type=int, default=1,
-                   help="Ulysses sequence parallelism (must divide kv_heads/tp)")
+                   help="sequence parallelism over the seq axis")
+    p.add_argument("--sp-mode", default="ulysses", choices=["ulysses", "ring"],
+                   help="ulysses (all-to-all, sp <= kv_heads/tp) or ring "
+                        "(K/V rotation, any sp dividing the padded length)")
     p.add_argument("--pp", type=int, default=1,
                    help="GPipe pipeline stages (must divide n_layers)")
     p.add_argument("--pp-schedule", default="gpipe", choices=["gpipe", "1f1b"],
@@ -67,7 +70,7 @@ def main(argv=None):
     mc = MODEL_CONFIGS[args.model]
     _, ec = build_engine(mc, args)
     tc = TrainConfig(
-        dp=args.dp, tp=args.tp, sp=args.sp, pp=args.pp,
+        dp=args.dp, tp=args.tp, sp=args.sp, sp_mode=args.sp_mode, pp=args.pp,
         pp_schedule=args.pp_schedule,
         microbatches=args.microbatches, learning_rate=args.lr,
         weight_decay=args.weight_decay, grad_clip=args.grad_clip,

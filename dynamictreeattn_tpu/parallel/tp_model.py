@@ -67,6 +67,7 @@ def _embed_vp(embed_local, tokens, axis):
 def _layer_tp(
     x, lp, cos, sin, config: Qwen3Config, attn_fn, tp: int, axis: str,
     sp: int = 1, seq_axis: str = "seq", ep: int = 1, ep_axis: str = "data",
+    sp_mode: str = "ulysses",
 ):
     c = config
     n = x.shape[0]
@@ -92,7 +93,7 @@ def _layer_tp(
         k = rms_norm(k, lp["k_norm"], eps)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
-    if sp > 1:
+    if sp > 1 and sp_mode == "ulysses":
         # Ulysses: all-to-all trades the seq shard for a kv-head shard, so the
         # tree-attention kernel sees the FULL packed sequence (global
         # positions, same block metadata on every seq rank) on hkv_l/sp kv
@@ -112,6 +113,9 @@ def _layer_tp(
         o = jax.lax.all_to_all(o, seq_axis, split_axis=0, concat_axis=1, tiled=True)
         o = o.reshape(n, hq_l * dh)
     else:
+        # sp == 1, or ring sequence parallelism: either way attn_fn consumes
+        # this rank's local rows with all local heads (the ring rotation — if
+        # any — lives inside attn_fn, ops/tree_attention_ring.py)
         o = attn_fn(q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2))
         o = o.transpose(1, 0, 2).reshape(n, hq_l * dh)
     x = x + mpar_out(o @ lp["wo"], axis)
@@ -268,6 +272,7 @@ def forward_hidden_tp(
     seq_axis: str = "seq",
     ep: int = 1,
     ep_axis: str = "data",
+    sp_mode: str = "ulysses",
 ):
     """Like models.qwen3.forward_hidden_aux but on tp-sharded local params.
     Returns (hidden, aux) with aux["lb_loss"] the summed router
@@ -290,7 +295,7 @@ def forward_hidden_tp(
 
     body = functools.partial(
         _layer_tp, config=c, attn_fn=attn_fn, tp=tp, axis=axis, sp=sp,
-        seq_axis=seq_axis, ep=ep, ep_axis=ep_axis,
+        seq_axis=seq_axis, ep=ep, ep_axis=ep_axis, sp_mode=sp_mode,
     )
 
     def scan_fn(carry, lp):

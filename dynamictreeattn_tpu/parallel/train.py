@@ -196,20 +196,28 @@ _META_FIELDS = ("kv_ids", "kv_counts", "kv_types", "q_ids", "q_counts", "q_types
 
 
 def stack_batches(
-    tries_or_packed: list, cfg: EngineConfig, sp: int = 1
+    tries_or_packed: list, cfg: EngineConfig, sp: int = 1,
+    sp_mode: str = "ulysses",
 ) -> StackedBatch:
     """Flatten+pad each rank's trie to a COMMON bucket and common metadata slot
     widths, then stack on the leading "data" axis.
 
     With `sp > 1`, also emits parent-owned edge arrays
     edge_parent/edge_token/edge_w of shape [dp, sp, E] for the
-    sequence-parallel loss (vp_tree_loss_edges)."""
+    sequence-parallel loss (vp_tree_loss_edges); with `sp_mode="ring"`, the
+    per-(q shard, kv shard) ring metadata ring_* of shape [dp, sp, sp, ...]
+    (tries/flatten.py:build_ring_block_meta)."""
     packeds = [
         flatten_trie(t) if isinstance(t, TokenTrie) else t for t in tries_or_packed
     ]
+    # seq shards need equal, block-aligned slices (buckets are block-
+    # multiples, so only a few extra rungs at worst)
+    quantum = sp if sp_mode != "ring" else sp * int(
+        np.lcm(cfg.block_q, cfg.block_kv)
+    )
     n_pad = cfg.bucket_length(max(p.n_padded for p in packeds))
-    while n_pad % sp:  # seq shards need equal slices (buckets are
-        n_pad = cfg.bucket_length(n_pad + 1)  # block-multiples, so ≤1 extra rung)
+    while n_pad % quantum:
+        n_pad = cfg.bucket_length(n_pad + 1)
     packeds = [_pad_packed(p, n_pad) if p.n_padded != n_pad else p for p in packeds]
 
     metas = [build_block_meta(p.last_desc, cfg.block_q, cfg.block_kv) for p in packeds]
@@ -227,6 +235,26 @@ def stack_batches(
         arrays[f] = np.stack([getattr(me, f) for me in metas]).astype(np.int32)
     if sp > 1:
         arrays.update(_edge_arrays(packeds, sp, n_pad))
+    if sp > 1 and sp_mode == "ring":
+        from dynamictreeattn_tpu.tries import build_ring_block_meta
+
+        rmetas = [
+            build_ring_block_meta(p.last_desc, sp, cfg.block_q, cfg.block_kv)
+            for p in packeds
+        ]
+        rkv_w = _next_pow2(max(m.kv_ids.shape[-1] for m in rmetas))
+        rq_w = _next_pow2(max(m.q_ids.shape[-1] for m in rmetas))
+        rmetas = [
+            build_ring_block_meta(
+                p.last_desc, sp, cfg.block_q, cfg.block_kv,
+                min_kv_slots=rkv_w, min_q_slots=rq_w,
+            )
+            for p in packeds
+        ]
+        for f in _META_FIELDS:
+            arrays["ring_" + f] = np.stack(
+                [getattr(m, f) for m in rmetas]
+            ).astype(np.int32)
     return StackedBatch(arrays={k: jnp.asarray(v) for k, v in arrays.items()},
                         packeds=packeds)
 
@@ -299,6 +327,7 @@ def make_train_step(
     fsdp: bool = False,
     fsdp_min_size: int = FSDP_MIN_SIZE,
     ep: bool = False,
+    sp_mode: str = "ulysses",
 ):
     """Build the jitted sharded step.
 
@@ -315,17 +344,24 @@ def make_train_step(
     "data" axis with token all-to-all dispatch (tp_model._moe_block_ep_a2a):
     expert weights/grads/optimizer state are permanently data-sharded (E ≫ tp
     regime); their grads skip the "data" psum (each expert has one owner).
+
+    `sp_mode` picks the sequence-parallel flavor when the mesh has a "seq"
+    axis: "ulysses" (all-to-all to kv-head sharding; needs sp ≤ kv_heads/tp)
+    or "ring" (K/V chunks rotate over "seq" through the ring tree-attention
+    op — any sp dividing the padded length; ops/tree_attention_ring.py).
     """
     mc, ec = model_config, engine_config
     tp = mesh.shape["model"]
     dp = mesh.shape["data"]
     sp = mesh.shape.get("seq", 1)
     tp_param_shard_info(mc, tp)  # validate divisibility
-    if sp > 1 and (mc.num_key_value_heads // tp) % sp:
+    if sp_mode not in ("ulysses", "ring"):
+        raise ValueError(f"unknown sp_mode {sp_mode!r}")
+    if sp > 1 and sp_mode == "ulysses" and (mc.num_key_value_heads // tp) % sp:
         raise ValueError(
             f"seq parallel sp={sp} must divide local kv heads "
             f"{mc.num_key_value_heads // tp} (= {mc.num_key_value_heads} kv "
-            f"heads / tp={tp})"
+            f"heads / tp={tp}); use sp_mode='ring' for larger sp"
         )
     ep_size = dp if (ep and mc.is_moe) else 1
     if ep and not mc.is_moe:
@@ -350,6 +386,12 @@ def make_train_step(
     if sp > 1:
         for f in ("edge_parent", "edge_token", "edge_w"):
             bspec[f] = P("data", "seq", None)
+    if sp > 1 and sp_mode == "ring":
+        for f in ("kv_ids", "kv_types", "q_ids", "q_types"):
+            bspec["ring_" + f] = P("data", None, None, None, None)
+        bspec["ring_kv_counts"] = bspec["ring_q_counts"] = P(
+            "data", None, None, None
+        )
 
     def local_loss_and_grad(params, batch):
         tokens = batch["tokens"][0]
@@ -360,7 +402,26 @@ def make_train_step(
         w_ent = batch["w_entropy"][0]
         meta = tuple(batch[f][0] for f in _META_FIELDS)
 
-        if ec.attn_backend == "reference":
+        if sp > 1 and sp_mode == "ring":
+            from dynamictreeattn_tpu.ops.tree_attention_ring import (
+                tree_attention_ring,
+                tree_attention_ring_reference,
+            )
+
+            if ec.attn_backend == "reference":
+                attn_fn = lambda q, k, v: tree_attention_ring_reference(
+                    q, k, v, last_desc, sp=sp, axis="seq"
+                )
+            else:
+                rmeta = tuple(
+                    batch["ring_" + f][0] for f in _META_FIELDS
+                )
+                bs = BlockSizes(ec.block_q, ec.block_kv)
+                attn_fn = lambda q, k, v: tree_attention_ring(
+                    q, k, v, last_desc, *rmeta, sp=sp, axis="seq",
+                    block_sizes=bs, interpret=ec.interpret,
+                )
+        elif ec.attn_backend == "reference":
             attn_fn = lambda q, k, v: tree_attention_reference(q, k, v, last_desc)
         else:
             bs = BlockSizes(ec.block_q, ec.block_kv)
@@ -413,6 +474,7 @@ def make_train_step(
                 remat_segments=ec.remat_segments,
                 unshard_fn=unshard_layer,
                 sp=sp,
+                sp_mode=sp_mode,
                 ep=ep_size,
             )
             w_local = p["embed"].T if mc.tie_word_embeddings else p["lm_head"]

@@ -37,7 +37,8 @@ __all__ = ["TrainConfig", "Trainer"]
 class TrainConfig:
     dp: int = 1
     tp: int = 1
-    sp: int = 1  # Ulysses sequence parallelism over the "seq" axis
+    sp: int = 1  # sequence parallelism over the "seq" axis
+    sp_mode: str = "ulysses"  # or "ring" (no kv-head limit on sp)
     pp: int = 1  # pipeline stages over the "pipe" axis
     pp_schedule: str = "gpipe"  # or "1f1b" (O(pp) activation memory)
     microbatches: int = 4  # microbatches per data rank when pp > 1
@@ -107,6 +108,7 @@ class Trainer:
                 fsdp=train_config.fsdp,
                 fsdp_min_size=train_config.fsdp_min_size,
                 ep=train_config.ep,
+                sp_mode=train_config.sp_mode,
             )
         self.params = None
         self.opt_state = None
@@ -192,7 +194,10 @@ class Trainer:
             batch = stack_microbatches(rows, self.ec)
         else:
             tries = self.partition(seqs, attachs)
-            batch = stack_batches(tries, self.ec, sp=self.mesh.shape.get("seq", 1))
+            batch = stack_batches(
+                tries, self.ec, sp=self.mesh.shape.get("seq", 1),
+                sp_mode=self.tc.sp_mode,
+            )
         t0 = time.time()
         new_params, new_opt, loss, aux = self._step_fn(
             self.params, self.opt_state, batch.arrays

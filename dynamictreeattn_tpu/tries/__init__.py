@@ -18,6 +18,8 @@ from dynamictreeattn_tpu.tries.flatten import (
     flatten_trie,
     build_block_meta,
     pack_forest,
+    RingBlockMeta,
+    build_ring_block_meta,
 )
 
 __all__ = [
@@ -29,5 +31,7 @@ __all__ = [
     "BlockMeta",
     "flatten_trie",
     "build_block_meta",
+    "RingBlockMeta",
+    "build_ring_block_meta",
     "pack_forest",
 ]

@@ -44,7 +44,10 @@ import numpy as np
 
 from dynamictreeattn_tpu.tries.token_trie import TokenTrie
 
-__all__ = ["PackedTrie", "BlockMeta", "flatten_trie", "build_block_meta", "pack_forest"]
+__all__ = [
+    "PackedTrie", "BlockMeta", "RingBlockMeta", "flatten_trie",
+    "build_block_meta", "build_ring_block_meta", "pack_forest",
+]
 
 
 def _default_weight_fn(attachment: dict, length: int) -> tuple[float, float]:
@@ -365,6 +368,110 @@ def build_block_meta(
         q_counts=q_counts,
         q_types=q_types,
     )
+
+
+@dataclasses.dataclass
+class RingBlockMeta:
+    """Per-(q shard, kv shard) block-sparse metadata for ring tree attention.
+
+    Arrays are the BlockMeta tables with two leading shard axes:
+    ``kv_ids[a, b]`` is the query-major table for q shard a against kv shard
+    b (ids are LOCAL to the shard: q blocks in [0, nq_loc), kv blocks in
+    [0, nk_loc)); ``q_ids[a, b]`` the key-major transpose. Pairs with no
+    ancestor relation get one type-0 slot (count clamped to 1 so the kernel's
+    emit-at-last-slot still fires, writing zeros / −inf lse)."""
+
+    sp: int
+    block_q: int
+    block_kv: int
+    kv_ids: np.ndarray  # [sp, sp, nq_loc, S] int32
+    kv_counts: np.ndarray  # [sp, sp, nq_loc] int32
+    kv_types: np.ndarray  # [sp, sp, nq_loc, S] int32
+    q_ids: np.ndarray  # [sp, sp, nk_loc, St] int32
+    q_counts: np.ndarray  # [sp, sp, nk_loc] int32
+    q_types: np.ndarray  # [sp, sp, nk_loc, St] int32
+
+
+def build_ring_block_meta(
+    last_desc: np.ndarray,
+    sp: int,
+    block_q: int,
+    block_kv: int,
+    min_kv_slots: int = 0,
+    min_q_slots: int = 0,
+) -> RingBlockMeta:
+    """Block metadata for every (q shard, kv shard) pair of a ring layout.
+
+    The global activity/fullness tests are identical to build_block_meta;
+    each pair's submatrix is compacted separately (common slot widths so one
+    kernel shape serves every ring step)."""
+    n = len(last_desc)
+    if n % sp:
+        raise ValueError(f"{n=} must divide sp={sp}")
+    n_loc = n // sp
+    if n_loc % block_q or n_loc % block_kv:
+        raise ValueError("shard length must divide both block sizes")
+    nq, nk = n // block_q, n // block_kv
+    nq_loc, nk_loc = n_loc // block_q, n_loc // block_kv
+    ld = np.asarray(last_desc, dtype=np.int64).reshape(nk, block_kv)
+    ld_max = ld.max(axis=1)
+    ld_min = ld.min(axis=1)
+    qs = np.arange(nq, dtype=np.int64)[:, None] * block_q
+    qe = qs + block_q
+    ks = np.arange(nk, dtype=np.int64)[None, :] * block_kv
+    ke = ks + block_kv
+    active = (ks < qe) & (ld_max[None, :] >= qs)
+    full = (ke - 1 <= qs) & (ld_min[None, :] >= qe - 1)
+
+    kv_w = max(
+        int(active[a * nq_loc:(a + 1) * nq_loc, b * nk_loc:(b + 1) * nk_loc]
+            .sum(axis=1).max())
+        for a in range(sp) for b in range(sp)
+    )
+    q_w = max(
+        int(active[a * nq_loc:(a + 1) * nq_loc, b * nk_loc:(b + 1) * nk_loc]
+            .sum(axis=0).max())
+        for a in range(sp) for b in range(sp)
+    )
+    kv_w = max(kv_w, min_kv_slots, 1)
+    q_w = max(q_w, min_q_slots, 1)
+
+    kv_ids = np.zeros((sp, sp, nq_loc, kv_w), np.int32)
+    kv_counts = np.zeros((sp, sp, nq_loc), np.int32)
+    kv_types = np.zeros((sp, sp, nq_loc, kv_w), np.int32)
+    q_ids = np.zeros((sp, sp, nk_loc, q_w), np.int32)
+    q_counts = np.zeros((sp, sp, nk_loc), np.int32)
+    q_types = np.zeros((sp, sp, nk_loc, q_w), np.int32)
+    for a in range(sp):
+        for b in range(sp):
+            sub_a = active[a * nq_loc:(a + 1) * nq_loc, b * nk_loc:(b + 1) * nk_loc]
+            sub_f = full[a * nq_loc:(a + 1) * nq_loc, b * nk_loc:(b + 1) * nk_loc]
+            i, c, t = _compact_allow_empty(sub_a, sub_f, kv_w)
+            kv_ids[a, b], kv_counts[a, b], kv_types[a, b] = i, c, t
+            i, c, t = _compact_allow_empty(sub_a.T, sub_f.T, q_w)
+            q_ids[a, b], q_counts[a, b], q_types[a, b] = i, c, t
+    return RingBlockMeta(
+        sp=sp, block_q=block_q, block_kv=block_kv,
+        kv_ids=kv_ids, kv_counts=kv_counts, kv_types=kv_types,
+        q_ids=q_ids, q_counts=q_counts, q_types=q_types,
+    )
+
+
+def _compact_allow_empty(active: np.ndarray, full: np.ndarray, width: int):
+    """_compact for shard-pair submatrices: empty rows are legal (count
+    clamped to 1 with a type-0 slot — skipped compute, still emits)."""
+    nrows, _ = active.shape
+    counts = active.sum(axis=1).astype(np.int32)
+    ids = np.zeros((nrows, width), dtype=np.int32)
+    types = np.zeros((nrows, width), dtype=np.int32)
+    for r in range(nrows):
+        cols = np.nonzero(active[r])[0]
+        c = len(cols)
+        if c:
+            ids[r, :c] = cols
+            types[r, :c] = np.where(full[r, cols], 2, 1)
+            ids[r, c:] = cols[-1]
+    return ids, np.maximum(counts, 1), types
 
 
 def _compact(active: np.ndarray, full: np.ndarray, min_slots: int):

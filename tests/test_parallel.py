@@ -132,6 +132,37 @@ def test_seq_parallel_step_matches_single_device(dp, sp, tp):
     assert rows[0][1] < 1e-3, rows[0]
 
 
+@pytest.mark.parametrize("dp,sp,tp", [(1, 2, 1), (1, 4, 2), (2, 2, 2)])
+def test_ring_seq_parallel_step_matches_single_device(dp, sp, tp):
+    """Ring SP: loss + grads == single-device oracle. sp=4 × tp=2 exceeds
+    the Ulysses kv-head limit (4 kv heads / tp=2 = 2 < sp) — ring has no
+    such constraint."""
+    rng = np.random.default_rng(19)
+    tries = []
+    for _ in range(dp):
+        seqs, attachs = random_trie_batch(
+            rng, n_seqs=6, vocab=TINY4.vocab_size, max_len=24
+        )
+        tries.append(TokenTrie(seqs, attachs))
+    mesh = make_mesh(dp=dp, tp=tp, sp=sp)
+    params = init_params(TINY4, jax.random.key(0), dtype=jnp.float32)
+    step = make_train_step(TINY4, mesh, ECFG, sp_mode="ring")
+    batch = stack_batches(tries, ECFG, sp=sp, sp_mode="ring")
+    loss, grads, aux = step(shard_params(params, mesh, TINY4), batch.arrays)
+
+    engine = TreeEngine(TINY4, ECFG)
+    total_loss, total_grads = 0.0, None
+    for t in tries:
+        l, g, _ = engine.loss_and_grad(params, engine.prepare(t))
+        total_loss += float(l)
+        total_grads = g if total_grads is None else jax.tree.map(
+            jnp.add, total_grads, g
+        )
+    np.testing.assert_allclose(float(loss), total_loss, rtol=1e-4)
+    rows = compare_grads(total_grads, jax.device_get(grads))
+    assert rows[0][1] < 1e-3, rows[0]
+
+
 def test_seq_parallel_with_fsdp():
     """SP × FSDP × TP compose: 2×2×2 mesh step matches the replicated step."""
     rng = np.random.default_rng(17)
