@@ -125,3 +125,16 @@ def test_train_cli_with_resume(tmp_path, capsys):
     assert "resumed at step 2" in out2
     rec = [json.loads(line) for line in out2.splitlines() if line.startswith("{")][-1]
     assert rec["step"] == 3
+
+
+def test_warmup_cli(capsys):
+    """AOT warmup pre-compiles every (bucket, width) combo without data."""
+    from dynamictreeattn_tpu.cli import warmup
+
+    warmup.main([
+        "--model", "qwen3-tiny", "--dtype", "fp32",
+        "--attn-backend", "reference", "--block-q", "32", "--block-kv", "32",
+        "--max-len", "128", "--widths", "max",
+    ])
+    out = capsys.readouterr().out
+    assert "compiled in" in out
