@@ -94,7 +94,7 @@ def main(argv=None):
                 pshapes,
                 sd((n_pad,), i32), sd((n_pad,), i32), sd((n_pad,), i32),
                 sd((n_pad,), i32), sd((n_pad,), jnp.float32),
-                sd((n_pad,), jnp.float32), meta,
+                sd((n_pad,), jnp.float32), sd((n_pad,), jnp.float32), meta,
             ).compile()
             dt = time.time() - t0
             total += dt

@@ -95,6 +95,7 @@ class TrieBatch:
     last_desc: jnp.ndarray
     w_logprob: jnp.ndarray
     w_entropy: jnp.ndarray
+    valid: jnp.ndarray  # [n] 1.0 real / 0.0 padding (MoE routing mask)
     meta: tuple  # (kv_ids, kv_counts, kv_types, q_ids, q_counts, q_types)
 
     @property
@@ -144,6 +145,7 @@ class TreeEngine:
             last_desc=jnp.asarray(packed.last_desc),
             w_logprob=jnp.asarray(packed.w_logprob),
             w_entropy=jnp.asarray(packed.w_entropy),
+            valid=jnp.asarray(packed.valid),
             meta=tuple(
                 jnp.asarray(x)
                 for x in (
@@ -169,7 +171,7 @@ class TreeEngine:
             )
         raise ValueError(f"unknown attn_backend {cfg.attn_backend!r}")
 
-    def _hidden(self, params, tokens, depth, last_desc, meta):
+    def _hidden(self, params, tokens, depth, last_desc, meta, valid=None):
         return forward_hidden(
             params,
             self.mc,
@@ -179,23 +181,27 @@ class TreeEngine:
             remat=self.cfg.remat,
             remat_policy=self.cfg.remat_policy,
             remat_segments=self.cfg.remat_segments,
+            valid=valid,
         )
 
-    def _logprobs(self, params, tokens, depth, parent, last_desc, meta):
-        hidden = self._hidden(params, tokens, depth, last_desc, meta)
+    def _logprobs(self, params, tokens, depth, parent, last_desc, meta,
+                  valid=None):
+        hidden = self._hidden(params, tokens, depth, last_desc, meta, valid)
         w_lm = lm_head_weight(params, self.mc)
         return logprob_entropy_from_hidden(
             hidden, w_lm, tokens, parent,
             self.cfg.temperature, self.cfg.loss_chunk,
         )
 
-    def _loss(self, params, tokens, depth, parent, last_desc, w_lp, w_ent, meta):
+    def _loss(self, params, tokens, depth, parent, last_desc, w_lp, w_ent,
+              valid, meta):
         from dynamictreeattn_tpu.models.qwen3 import forward_hidden_aux
 
         hidden, faux = forward_hidden_aux(
             params, self.mc, tokens, depth, self._attn_fn(last_desc, meta),
             remat=self.cfg.remat, remat_policy=self.cfg.remat_policy,
             remat_segments=self.cfg.remat_segments,
+            valid=valid,
         )
         lp_edge, entropy = logprob_entropy_from_hidden(
             hidden, lm_head_weight(params, self.mc), tokens, parent,
@@ -216,14 +222,14 @@ class TreeEngine:
     def loss(self, params, batch: TrieBatch):
         loss, aux = self._loss_fn(
             params, batch.tokens, batch.depth, batch.parent, batch.last_desc,
-            batch.w_logprob, batch.w_entropy, batch.meta,
+            batch.w_logprob, batch.w_entropy, batch.valid, batch.meta,
         )
         return loss, aux
 
     def loss_and_grad(self, params, batch: TrieBatch):
         (loss, aux), grads = self._grad_fn(
             params, batch.tokens, batch.depth, batch.parent, batch.last_desc,
-            batch.w_logprob, batch.w_entropy, batch.meta,
+            batch.w_logprob, batch.w_entropy, batch.valid, batch.meta,
         )
         return loss, grads, aux
 
@@ -260,9 +266,9 @@ class TreeEngine:
         if fn is None:
 
             def total_loss(params, tokens, depth, parent, last_desc, meta,
-                           paths, lengths, extras):
+                           valid, paths, lengths, extras):
                 lp_edge, entropy = self._logprobs(
-                    params, tokens, depth, parent, last_desc, meta
+                    params, tokens, depth, parent, last_desc, meta, valid
                 )
                 safe = jnp.maximum(paths, 0)
                 lp_rows = jnp.take(lp_edge, safe[:, 1:], axis=0)  # [S, Lmax-1]
@@ -274,7 +280,7 @@ class TreeEngine:
             self._custom_cache[id(loss_fn)] = fn
         return fn(
             params, batch.tokens, batch.depth, batch.parent, batch.last_desc,
-            batch.meta, paths, lengths, extras,
+            batch.meta, batch.valid, paths, lengths, extras,
         )
 
     def forward(self, params, batch: TrieBatch) -> dict[int, np.ndarray]:
@@ -283,7 +289,7 @@ class TreeEngine:
         fp32 array of length len(seq)-1}."""
         lp_edge, _ = self._lp_fn(
             params, batch.tokens, batch.depth, batch.parent, batch.last_desc,
-            batch.meta,
+            batch.meta, batch.valid,
         )
         lp_edge = np.asarray(lp_edge)
         out: dict[int, np.ndarray] = {}

@@ -289,25 +289,49 @@ def moe_apply(
     return jnp.zeros((n, d), jnp.float32).at[tok].add(ys).astype(h.dtype)
 
 
-def _moe_block(h: jnp.ndarray, lp: dict, config: Qwen3Config):
-    """Router + top-k + dispatch. Returns (mlp_out [n, d], lb_loss scalar).
+def moe_route(h, router, config: Qwen3Config, valid=None):
+    """Router + top-k + load-balance loss, shared by every EP flavor.
 
-    Aux loss is the Switch/GShard load-balance term E · Σ_e f_e·P̄_e (HF
-    Qwen3Moe's load_balancing_loss_func equivalent)."""
+    Returns (w [n,k] f32, idx [n,k] i32, lb scalar). With `valid` (a [n]
+    0/1 float mask), padding rows are excluded from the lb statistics AND
+    from dispatch (their idx becomes E — out of every rank's range — so they
+    never occupy expert capacity). Aux loss is the Switch/GShard
+    load-balance term E · Σ_e f_e·P̄_e (HF Qwen3Moe's
+    load_balancing_loss_func equivalent, masked like its attention_mask
+    path)."""
+    c = config
+    n = h.shape[0]
+    E, k = c.num_experts, c.num_experts_per_tok
+    logits = jnp.dot(h, router, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)  # [n, E] fp32
+    w, idx = jax.lax.top_k(probs, k)
+    if c.norm_topk_prob:
+        w = w / jnp.sum(w, axis=-1, keepdims=True)
+    if valid is None:
+        nk = jnp.float32(n * k)
+        counts = jnp.zeros((E,), jnp.float32).at[idx.reshape(-1)].add(1.0)
+        lb = E * jnp.sum((counts / nk) * jnp.mean(probs, axis=0))
+        return w, idx, lb
+    m = valid.astype(jnp.float32)
+    idx = jnp.where(valid[:, None] > 0, idx, E)  # OOB scatter updates drop
+    n_eff = jnp.maximum(jnp.sum(m), 1.0)
+    counts = jnp.zeros((E,), jnp.float32).at[idx.reshape(-1)].add(
+        jnp.repeat(m, k)
+    )
+    mean_probs = jnp.sum(probs * m[:, None], axis=0) / n_eff
+    lb = E * jnp.sum((counts / (n_eff * k)) * mean_probs)
+    return w, idx, lb
+
+
+def _moe_block(h: jnp.ndarray, lp: dict, config: Qwen3Config, valid=None):
+    """Router + top-k + dispatch. Returns (mlp_out [n, d], lb_loss scalar)."""
     import math
 
     c = config
     n, _ = h.shape
     E, k = c.num_experts, c.num_experts_per_tok
-    logits = jnp.dot(h, lp["router"], preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1)  # [n, E] fp32
-    w, idx = jax.lax.top_k(probs, k)
-    if c.norm_topk_prob:
-        w = w / jnp.sum(w, axis=-1, keepdims=True)
-    nk = n * k
-    counts = jnp.zeros((E,), jnp.float32).at[idx.reshape(-1)].add(1.0)
-    lb = E * jnp.sum((counts / nk) * jnp.mean(probs, axis=0))
-    cap = int(math.ceil(c.moe_capacity_factor * nk / E))
+    w, idx, lb = moe_route(h, lp["router"], c, valid)
+    cap = int(math.ceil(c.moe_capacity_factor * n * k / E))
     y = moe_apply(h, lp["e_gate"], lp["e_up"], lp["e_down"], idx, w, cap)
     return y, lb
 
@@ -317,7 +341,7 @@ def _moe_block(h: jnp.ndarray, lp: dict, config: Qwen3Config):
 AttnFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
-def _layer(x, lp, cos, sin, config: Qwen3Config, attn_fn: AttnFn):
+def _layer(x, lp, cos, sin, config: Qwen3Config, attn_fn: AttnFn, valid=None):
     c = config
     n, d = x.shape
     dh = c.head_dim
@@ -350,7 +374,7 @@ def _layer(x, lp, cos, sin, config: Qwen3Config, attn_fn: AttnFn):
     # --- MLP block
     h = rms_norm(x, lp["ln2"], eps)
     if c.is_moe:
-        y, lb = _moe_block(h, lp, c)
+        y, lb = _moe_block(h, lp, c, valid)
         x = x + y.astype(x.dtype)
         return x, lb
     act = jax.nn.silu((h @ lp["gate"]).astype(jnp.float32)).astype(h.dtype)
@@ -367,14 +391,16 @@ def forward_hidden_aux(
     remat: bool = False,
     remat_policy: str | None = None,
     remat_segments: int = 0,
+    valid=None,
 ):
     """(hidden [n, d], aux) — aux["lb_loss"] is the summed router
-    load-balance loss over layers (0 for dense models)."""
+    load-balance loss over layers (0 for dense models). `valid` ([n] 0/1
+    mask) excludes padding rows from MoE routing stats and capacity."""
     c = config
     x = jnp.take(params["embed"], tokens, axis=0)
     cos, sin = rope_tables(positions, c.head_dim, c.rope_theta)
 
-    body = functools.partial(_layer, config=c, attn_fn=attn_fn)
+    body = functools.partial(_layer, config=c, attn_fn=attn_fn, valid=valid)
 
     def scan_fn(carry, lp):
         x, lb = carry
@@ -422,12 +448,14 @@ def forward_hidden(
     remat: bool = False,
     remat_policy: str | None = None,
     remat_segments: int = 0,
+    valid=None,
 ) -> jnp.ndarray:
     """Returns final-norm'd hidden states [n, d] (LM head applied separately
     so losses can fuse it — ops/losses.py)."""
     hidden, _ = forward_hidden_aux(
         params, config, tokens, positions, attn_fn,
         remat=remat, remat_policy=remat_policy, remat_segments=remat_segments,
+        valid=valid,
     )
     return hidden
 

@@ -128,8 +128,6 @@ def make_pp_train_step(
     tp = mesh.shape["model"]
     if mesh.shape.get("seq", 1) > 1:
         raise ValueError("pipeline and sequence parallelism are exclusive")
-    if mc.is_moe:
-        raise ValueError("pipeline + MoE not supported yet")
     if schedule not in ("gpipe", "1f1b"):
         raise ValueError(f"unknown pipeline schedule {schedule!r}")
     pspecs = pp_param_specs(mc, pp)
@@ -163,14 +161,16 @@ def make_pp_train_step(
                 q, k, v, ld, *meta, block_sizes=bs, interpret=ec.interpret
             )
 
-        def stage_layers(p, x, attn_fn, cos, sin):
+        def stage_layers(p, x, attn_fn, cos, sin, val):
             body = functools.partial(
-                _layer_tp, config=mc, attn_fn=attn_fn, tp=tp, axis="model"
+                _layer_tp, config=mc, attn_fn=attn_fn, tp=tp, axis="model",
+                valid=val,
             )
 
             def scan_fn(carry, lp):
-                out, _lb = body(carry, lp, cos, sin)
-                return out, None
+                x, lb = carry
+                out, lb_i = body(x, lp, cos, sin)  # dense: lb_i is 0
+                return (out, lb + lb_i), None
 
             if ec.remat:
                 from dynamictreeattn_tpu.models.qwen3 import _remat_policy
@@ -179,8 +179,8 @@ def make_pp_train_step(
                     scan_fn, prevent_cse=False,
                     policy=_remat_policy(ec.remat_policy),
                 )
-            x, _ = jax.lax.scan(scan_fn, x, p["layers"])
-            return x
+            (x, lb), _ = jax.lax.scan(scan_fn, (x, jnp.float32(0)), p["layers"])
+            return x, lb
 
         def stage_fwd(p, mb, x_prev):
             """One stage forward (no grad tracking): embed on stage 0, else
@@ -190,20 +190,25 @@ def make_pp_train_step(
             cos, sin = rope_tables(dep, mc.head_dim, mc.rope_theta)
             x0 = _embed_vp(p["embed"], tok, "model").astype(dtype)
             x_in = jnp.where(stage == 0, x0, x_prev)
-            y = stage_layers(p, x_in, make_attn(mb), cos, sin)
+            y, _lb = stage_layers(
+                p, x_in, make_attn(mb), cos, sin, mb_field("valid", mb)
+            )
             return x_in, y
 
-        def stage_out_fn(p, x_in, mb, live):
+        def stage_out_fn(p, x_in, mb, live, valid):
             """Stage forward + (masked, last-stage-only) loss — the function
             whose vjp produces this stage's param grads and input cotangent.
             The `where` on stage routes d(embed) to stage 0 and dx to the
-            received activation elsewhere."""
+            received activation elsewhere. The router lb term is per-STAGE
+            (each stage's own MoE layers) and masked by `valid` only."""
             tok = mb_field("tokens", mb)
             dep = mb_field("depth", mb)
             cos, sin = rope_tables(dep, mc.head_dim, mc.rope_theta)
             x0 = _embed_vp(p["embed"], tok, "model").astype(dtype)
             xx = jnp.where(stage == 0, x0, x_in)
-            y = stage_layers(p, xx, make_attn(mb), cos, sin)
+            y, lb = stage_layers(
+                p, xx, make_attn(mb), cos, sin, mb_field("valid", mb)
+            )
             h = mpar_in(rms_norm(y, p["final_norm"], mc.rms_norm_eps), "model")
             w_local = p["embed"].T if mc.tie_word_embeddings else p["lm_head"]
             l, aux = vp_tree_loss_from_hidden(
@@ -211,11 +216,15 @@ def make_pp_train_step(
                 mb_field("w_logprob", mb), mb_field("w_entropy", mb),
                 ec.temperature, ec.loss_chunk,
             )
-            return (y, live * l), (live * aux["sum_logprob"],
-                                   live * aux["sum_entropy"])
+            l_seed = live * l
+            if mc.is_moe and mc.router_aux_coef:
+                l_seed = l_seed + mc.router_aux_coef * valid * lb
+            return (y, l_seed), (live * aux["sum_logprob"],
+                                 live * aux["sum_entropy"], valid * lb)
 
         def tick(carry, t):
-            y_prev, dx_prev, stash, gacc, loss_acc, lp_acc, ent_acc = carry
+            (y_prev, dx_prev, stash, gacc, loss_acc, lp_acc, ent_acc,
+             lb_acc) = carry
 
             # ---- forward: microbatch t − stage
             mf = t - stage
@@ -234,8 +243,9 @@ def make_pp_train_step(
                 stash, jnp.clip(mb, 0, M - 1) % S, axis=0, keepdims=False
             )
             live = ((stage == pp - 1) & valid_b).astype(jnp.float32)
-            (y_b, l_b), vjp_fn, (s_lp, s_ent) = jax.vjp(
-                lambda p, x: stage_out_fn(p, x, mb, live),
+            valid = valid_b.astype(jnp.float32)
+            (y_b, l_b), vjp_fn, (s_lp, s_ent, s_lb) = jax.vjp(
+                lambda p, x: stage_out_fn(p, x, mb, live, valid),
                 params, x_in_b, has_aux=True,
             )
             # downstream cotangent: from stage+1's bwd of mb last tick; the
@@ -251,10 +261,12 @@ def make_pp_train_step(
             loss_acc = loss_acc + l_b
             lp_acc = lp_acc + s_lp
             ent_acc = ent_acc + s_ent
+            lb_acc = lb_acc + s_lb
 
             y_next = jax.lax.ppermute(y_f, "pipe", perm)
             dx_next = jax.lax.ppermute(dx, "pipe", perm_bwd)
-            return (y_next, dx_next, stash, gacc, loss_acc, lp_acc, ent_acc), None
+            return (y_next, dx_next, stash, gacc, loss_acc, lp_acc, ent_acc,
+                    lb_acc), None
 
         x0 = jnp.zeros((n, mc.hidden_size), dtype)
         stash0 = jnp.zeros((S + 1, n, mc.hidden_size), dtype)
@@ -262,12 +274,15 @@ def make_pp_train_step(
             lambda p: jnp.zeros(p.shape, jnp.float32), params
         )
         carry = (x0, x0, stash0, gacc0,
-                 jnp.float32(0), jnp.float32(0), jnp.float32(0))
-        (_, _, _, gacc, loss, s_lp, s_ent), _ = jax.lax.scan(
+                 jnp.float32(0), jnp.float32(0), jnp.float32(0),
+                 jnp.float32(0))
+        (_, _, _, gacc, loss, s_lp, s_ent, s_lb), _ = jax.lax.scan(
             tick, carry, jnp.arange(M + 2 * (pp - 1))
         )
         grads = jax.tree.map(lambda g, p: g.astype(p.dtype), gacc, params)
         aux = {"sum_logprob": s_lp, "sum_entropy": s_ent}
+        if mc.is_moe:
+            aux["lb_loss"] = s_lb
         # loss/aux live on the last stage only; layer grads are stage-local,
         # everything else (embed at stage 0 + loss head at pp−1, final_norm
         # at pp−1) is partial per stage → psum over "pipe"
@@ -301,14 +316,16 @@ def make_pp_train_step(
                     batch[name][0], mb, axis=0, keepdims=False
                 )
 
-            def stage_layers(x, attn_fn, cos, sin):
+            def stage_layers(x, attn_fn, cos, sin, val):
                 body = functools.partial(
-                    _layer_tp, config=mc, attn_fn=attn_fn, tp=tp, axis="model"
+                    _layer_tp, config=mc, attn_fn=attn_fn, tp=tp, axis="model",
+                    valid=val,
                 )
 
                 def scan_fn(carry, lp):
-                    out, _lb = body(carry, lp, cos, sin)  # dense: lb is 0
-                    return out, None
+                    x, lb = carry
+                    out, lb_i = body(x, lp, cos, sin)  # dense: lb_i is 0
+                    return (out, lb + lb_i), None
 
                 if ec.remat:
                     from dynamictreeattn_tpu.models.qwen3 import _remat_policy
@@ -317,11 +334,13 @@ def make_pp_train_step(
                         scan_fn, prevent_cse=False,
                         policy=_remat_policy(ec.remat_policy),
                     )
-                x, _ = jax.lax.scan(scan_fn, x, p["layers"])
-                return x
+                (x, lb), _ = jax.lax.scan(
+                    scan_fn, (x, jnp.float32(0)), p["layers"]
+                )
+                return x, lb
 
             def tick(carry, t):
-                x_prev, loss_acc, lp_acc, ent_acc = carry
+                x_prev, loss_acc, lp_acc, ent_acc, lb_acc = carry
                 tok = mb_field("tokens", t)  # [n]
                 dep = mb_field("depth", t)
                 meta = tuple(mb_field(f, t) for f in _META_FIELDS)
@@ -338,7 +357,7 @@ def make_pp_train_step(
 
                 x0 = _embed_vp(p["embed"], tok, "model").astype(dtype)
                 x_in = jnp.where(stage == 0, x0, x_prev)
-                y = stage_layers(x_in, attn_fn, cos, sin)
+                y, lb = stage_layers(x_in, attn_fn, cos, sin, mb_field("valid", t))
 
                 # last stage: final norm + loss on the microbatch leaving the
                 # pipe this tick (masked to 0 on bubbles / other stages).
@@ -354,24 +373,36 @@ def make_pp_train_step(
                 )
                 mb = t - stage
                 live = ((mb >= 0) & (mb < M) & (stage == pp - 1)).astype(l.dtype)
+                # the router lb loss is per-STAGE (each stage's own MoE
+                # layers), masked to real microbatches — the summed per-stage
+                # seeds reproduce d(total)/dθ just like the CE mask below
+                valid = ((mb >= 0) & (mb < M)).astype(l.dtype)
                 loss_acc = loss_acc + live * l
+                if mc.is_moe and mc.router_aux_coef:
+                    loss_acc = loss_acc + mc.router_aux_coef * valid * lb
+                lb_acc = lb_acc + valid * lb
                 lp_acc = lp_acc + live * aux["sum_logprob"]
                 ent_acc = ent_acc + live * aux["sum_entropy"]
 
                 y = jax.lax.ppermute(y, "pipe", perm)
-                return (y, loss_acc, lp_acc, ent_acc), None
+                return (y, loss_acc, lp_acc, ent_acc, lb_acc), None
 
             x0 = jnp.zeros((n, mc.hidden_size), dtype)
-            carry = (x0, jnp.float32(0), jnp.float32(0), jnp.float32(0))
-            (_, loss, s_lp, s_ent), _ = jax.lax.scan(
+            carry = (x0, jnp.float32(0), jnp.float32(0), jnp.float32(0),
+                     jnp.float32(0))
+            (_, loss, s_lp, s_ent, s_lb), _ = jax.lax.scan(
                 tick, carry, jnp.arange(M + pp - 1)
             )
             # NOTE: no psum here — each device's backward seeds its OWN loss
             # cotangent, so the per-stage masked loss (nonzero only on the
-            # last stage) makes the SPMD backward compute d(true loss)/dθ;
-            # a psum inside loss_fn would transpose to another psum and scale
-            # every gradient by pp (see parallel/collectives.py).
-            return loss, {"sum_logprob": s_lp, "sum_entropy": s_ent}
+            # last stage, plus each stage's own lb term) makes the SPMD
+            # backward compute d(true loss)/dθ; a psum inside loss_fn would
+            # transpose to another psum and scale every gradient by pp (see
+            # parallel/collectives.py).
+            aux_out = {"sum_logprob": s_lp, "sum_entropy": s_ent}
+            if mc.is_moe:
+                aux_out["lb_loss"] = s_lb
+            return loss, aux_out
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         # share the last stage's loss/aux with every stage (post-grad)

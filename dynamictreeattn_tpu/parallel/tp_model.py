@@ -67,7 +67,7 @@ def _embed_vp(embed_local, tokens, axis):
 def _layer_tp(
     x, lp, cos, sin, config: Qwen3Config, attn_fn, tp: int, axis: str,
     sp: int = 1, seq_axis: str = "seq", ep: int = 1, ep_axis: str = "data",
-    sp_mode: str = "ulysses",
+    sp_mode: str = "ulysses", valid=None,
 ):
     c = config
     n = x.shape[0]
@@ -123,9 +123,11 @@ def _layer_tp(
     h_norm = rms_norm(x, lp["ln2"], eps)
     if c.is_moe:
         if ep > 1:
-            x, lb = _moe_block_ep_a2a(x, h_norm, lp, c, tp, axis, ep, ep_axis)
+            x, lb = _moe_block_ep_a2a(
+                x, h_norm, lp, c, tp, axis, ep, ep_axis, valid
+            )
         else:
-            x, lb = _moe_block_ep(x, h_norm, lp, c, tp, axis)
+            x, lb = _moe_block_ep(x, h_norm, lp, c, tp, axis, valid)
         return x, lb
     h = mpar_in(h_norm, axis)
     act = jax.nn.silu((h @ lp["gate"]).astype(jnp.float32)).astype(h.dtype)
@@ -133,7 +135,8 @@ def _layer_tp(
     return x, jnp.float32(0)
 
 
-def _moe_block_ep(x, h_norm, lp, c: Qwen3Config, tp: int, axis: str):
+def _moe_block_ep(x, h_norm, lp, c: Qwen3Config, tp: int, axis: str,
+                  valid=None):
     """Expert-parallel MoE over the "model" axis (replicated activations).
 
     Routing (router matmul, softmax, top-k, load-balance loss) is computed
@@ -146,20 +149,13 @@ def _moe_block_ep(x, h_norm, lp, c: Qwen3Config, tp: int, axis: str):
     is redundant-replicated and therefore already full."""
     import math
 
-    from dynamictreeattn_tpu.models.qwen3 import moe_apply
+    from dynamictreeattn_tpu.models.qwen3 import moe_apply, moe_route
 
     n = h_norm.shape[0]
     E, k = c.num_experts, c.num_experts_per_tok
     e_local = E // tp
-    logits = jnp.dot(h_norm, lp["router"], preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1)  # [n, E] fp32, replicated
-    w, idx = jax.lax.top_k(probs, k)
-    if c.norm_topk_prob:
-        w = w / jnp.sum(w, axis=-1, keepdims=True)
-    nk = n * k
-    counts = jnp.zeros((E,), jnp.float32).at[idx.reshape(-1)].add(1.0)
-    lb = E * jnp.sum((counts / nk) * jnp.mean(probs, axis=0))
-    cap = int(math.ceil(c.moe_capacity_factor * nk / E))
+    w, idx, lb = moe_route(h_norm, lp["router"], c, valid)
+    cap = int(math.ceil(c.moe_capacity_factor * n * k / E))
     e_off = jax.lax.axis_index(axis) * e_local
     y_partial = moe_apply(
         mpar_in(h_norm, axis),
@@ -170,7 +166,7 @@ def _moe_block_ep(x, h_norm, lp, c: Qwen3Config, tp: int, axis: str):
 
 
 def _moe_block_ep_a2a(x, h_norm, lp, c: Qwen3Config, tp: int, axis: str,
-                      ep: int, ep_axis: str):
+                      ep: int, ep_axis: str, valid=None):
     """Expert parallelism over the `ep_axis` ("data") via token all-to-all,
     composed with expert sharding over `axis` ("model"): expert e lives on
     (data rank e // (E/ep), model rank (e % (E/ep)) // (E/(ep·tp))).
@@ -187,21 +183,16 @@ def _moe_block_ep_a2a(x, h_norm, lp, c: Qwen3Config, tp: int, axis: str,
     the train step skips the "data" grad psum for expert leaves)."""
     import math
 
-    from dynamictreeattn_tpu.models.qwen3 import moe_apply
+    from dynamictreeattn_tpu.models.qwen3 import moe_apply, moe_route
 
     n, d = h_norm.shape
     E, k = c.num_experts, c.num_experts_per_tok
+    nk = n * k
     e_owned = E // ep  # experts per data rank
     e_local = e_owned // tp  # ... per (data, model) rank
-    # --- routing: rank-local tokens, replicated over "model"
-    logits = jnp.dot(h_norm, lp["router"], preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(logits, axis=-1)  # [n, E] fp32
-    w, idx = jax.lax.top_k(probs, k)
-    if c.norm_topk_prob:
-        w = w / jnp.sum(w, axis=-1, keepdims=True)
-    nk = n * k
-    counts = jnp.zeros((E,), jnp.float32).at[idx.reshape(-1)].add(1.0)
-    lb = E * jnp.sum((counts / nk) * jnp.mean(probs, axis=0))
+    # --- routing: rank-local tokens, replicated over "model" (masked idx for
+    # padding rows is E — dest computes to ep and the pair is never packed)
+    w, idx, lb = moe_route(h_norm, lp["router"], c, valid)
 
     # --- dispatch: pack pairs by destination data rank (stable sort → the
     # within-source order is preserved, so drops are deterministic)
@@ -212,8 +203,10 @@ def _moe_block_ep_a2a(x, h_norm, lp, c: Qwen3Config, tp: int, axis: str,
     order = jnp.argsort(dest, stable=True)
     sorted_dest = jnp.take(dest, order)
     starts = jnp.searchsorted(sorted_dest, jnp.arange(ep))
-    rank_in = jnp.arange(nk) - jnp.take(starts, sorted_dest)
-    keep = rank_in < C
+    rank_in = jnp.arange(nk) - jnp.take(
+        starts, jnp.clip(sorted_dest, 0, ep - 1)
+    )
+    keep = (rank_in < C) & (sorted_dest < ep)
     slot = jnp.where(keep, sorted_dest * C + rank_in, ep * C)  # last = trash
     tok = order // k
     xs = jnp.take(h_norm, tok, axis=0)  # [nk, d]
@@ -273,6 +266,7 @@ def forward_hidden_tp(
     ep: int = 1,
     ep_axis: str = "data",
     sp_mode: str = "ulysses",
+    valid=None,
 ):
     """Like models.qwen3.forward_hidden_aux but on tp-sharded local params.
     Returns (hidden, aux) with aux["lb_loss"] the summed router
@@ -296,6 +290,7 @@ def forward_hidden_tp(
     body = functools.partial(
         _layer_tp, config=c, attn_fn=attn_fn, tp=tp, axis=axis, sp=sp,
         seq_axis=seq_axis, ep=ep, ep_axis=ep_axis, sp_mode=sp_mode,
+        valid=valid,
     )
 
     def scan_fn(carry, lp):

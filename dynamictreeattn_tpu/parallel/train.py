@@ -191,7 +191,8 @@ class StackedBatch:
         return len(self.packeds)
 
 
-_BATCH_FIELDS = ("tokens", "depth", "parent", "last_desc", "w_logprob", "w_entropy")
+_BATCH_FIELDS = ("tokens", "depth", "parent", "last_desc", "w_logprob",
+                 "w_entropy", "valid")
 _META_FIELDS = ("kv_ids", "kv_counts", "kv_types", "q_ids", "q_counts", "q_types")
 
 
@@ -443,17 +444,19 @@ def make_train_step(
         else:
             unshard_layer = None
 
+        valid = batch["valid"][0]
         if sp > 1:
             r = jax.lax.axis_index("seq")
             n_loc = tokens.shape[0] // sp
             tok_in = jax.lax.dynamic_slice_in_dim(tokens, r * n_loc, n_loc)
             dep_in = jax.lax.dynamic_slice_in_dim(depth, r * n_loc, n_loc)
+            val_in = jax.lax.dynamic_slice_in_dim(valid, r * n_loc, n_loc)
             w_ent_loc = jax.lax.dynamic_slice_in_dim(w_ent, r * n_loc, n_loc)
             e_par = batch["edge_parent"][0, 0]
             e_tok = batch["edge_token"][0, 0]
             e_w = batch["edge_w"][0, 0]
         else:
-            tok_in, dep_in = tokens, depth
+            tok_in, dep_in, val_in = tokens, depth, valid
 
         def loss_fn(p):
             if fsdp:
@@ -476,6 +479,7 @@ def make_train_step(
                 sp=sp,
                 sp_mode=sp_mode,
                 ep=ep_size,
+                valid=val_in,
             )
             w_local = p["embed"].T if mc.tie_word_embeddings else p["lm_head"]
             if sp > 1:

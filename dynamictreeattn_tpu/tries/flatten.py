@@ -72,6 +72,7 @@ class PackedTrie:
     last_desc: np.ndarray  # [n_padded] int32, == own index for padding
     w_logprob: np.ndarray  # [n_padded] float32 — weight of edge parent[j]→j
     w_entropy: np.ndarray  # [n_padded] float32 — weight of entropy at j
+    valid: np.ndarray  # [n_padded] float32 — 1.0 real token, 0.0 padding
     n_tokens: int  # valid (un-padded) token count
     # one row per original sequence endpoint:
     seq_batch_ids: np.ndarray  # [n_seqs] int32 — _sequence_batch_id
@@ -205,6 +206,7 @@ def flatten_trie(
         last_desc=last_desc,
         w_logprob=w_logprob,
         w_entropy=w_entropy,
+        valid=np.ones(n, dtype=np.float32),
         n_tokens=n,
         seq_batch_ids=np.asarray(seq_batch_ids, dtype=np.int32),
         seq_end_pos=np.asarray(seq_end_pos, dtype=np.int32),
@@ -231,6 +233,7 @@ def _pad_packed(p: PackedTrie, pad_to: int) -> PackedTrie:
         last_desc=np.concatenate([p.last_desc, pad_idx]),
         w_logprob=np.concatenate([p.w_logprob, np.zeros(extra, np.float32)]),
         w_entropy=np.concatenate([p.w_entropy, np.zeros(extra, np.float32)]),
+        valid=np.concatenate([p.valid, np.zeros(extra, np.float32)]),
     )
 
 
@@ -260,6 +263,7 @@ def pack_forest(packed_tries: list[PackedTrie], pad_to: int | None = None) -> Pa
         ),
         w_logprob=np.concatenate([p.w_logprob for p in packed_tries]),
         w_entropy=np.concatenate([p.w_entropy for p in packed_tries]),
+        valid=np.concatenate([p.valid for p in packed_tries]),
         n_tokens=int(offsets[-1]),
         seq_batch_ids=np.concatenate([p.seq_batch_ids for p in packed_tries]),
         seq_end_pos=np.concatenate(

@@ -214,6 +214,47 @@ def test_moe_ep_a2a_matches_single_device(dp, tp):
     assert rows[0][1] < 1e-3, rows[:3]
 
 
+@pytest.mark.parametrize("schedule", ["gpipe", "1f1b"])
+def test_moe_pipeline_matches_single_device(schedule):
+    """MoE × pipeline (both schedules): per-stage router lb seeding must
+    reproduce the oracle loss + grads (ample capacity → no drops)."""
+    import dataclasses
+
+    from dynamictreeattn_tpu.parallel import (
+        make_mesh, make_pp_train_step, shard_params_pp, stack_microbatches,
+    )
+    from dynamictreeattn_tpu.utils import compare_grads
+
+    cfg = dataclasses.replace(
+        MOE, moe_capacity_factor=float(MOE.num_experts), router_aux_coef=0.01
+    )
+    rng = np.random.default_rng(41)
+    M = 3
+    row = [
+        TokenTrie(*random_trie_batch(rng, n_seqs=5, vocab=cfg.vocab_size, max_len=20))
+        for _ in range(M)
+    ]
+    mesh = make_mesh(dp=1, tp=2, pp=2)
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    step = make_pp_train_step(cfg, mesh, ECFG, schedule=schedule)
+    batch = stack_microbatches([row], ECFG)
+    loss, grads, aux = step(shard_params_pp(params, mesh, cfg), batch.arrays)
+
+    engine = TreeEngine(cfg, ECFG)
+    total_loss, total_grads, total_lb = 0.0, None, 0.0
+    for t in row:
+        l, g, a = engine.loss_and_grad(params, engine.prepare(t))
+        total_loss += float(l)
+        total_lb += float(a["lb_loss"])
+        total_grads = g if total_grads is None else jax.tree.map(
+            jnp.add, total_grads, g
+        )
+    np.testing.assert_allclose(float(loss), total_loss, rtol=1e-4)
+    np.testing.assert_allclose(float(aux["lb_loss"]), total_lb, rtol=1e-4)
+    rows = compare_grads(total_grads, jax.device_get(grads))
+    assert rows[0][1] < 1e-3, rows[:3]
+
+
 def test_moe_logits_match_hf():
     """JAX MoE forward == HF Qwen3MoeForCausalLM on the same weights.
 
