@@ -52,7 +52,7 @@ def synthetic_rollout_batch(
             seqs.append(seq)
             attachs.append(
                 {"w_logprobs": w_logprobs, "w_entropy": w_entropy,
-                 "prompt_id": p, "sample_id": g}
+                 "prompt_id": p, "sample_id": g, "prompt_len": plen}
             )
     return seqs, attachs
 
