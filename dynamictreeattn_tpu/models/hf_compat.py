@@ -50,6 +50,24 @@ def hf_config(config: Qwen3Config):
 
         assert not config.attention_bias
         return HFQwen3Config(head_dim=config.head_dim, attention_bias=False, **common)
+    if not config.attention_bias:
+        # Llama-3: no q/k norm, no biases, optional llama3 rope scaling
+        from transformers.models.llama import LlamaConfig as HFLlamaConfig
+
+        rope_scaling = None
+        if config.rope_scaling is not None:
+            rope_scaling = {
+                "rope_type": config.rope_scaling,
+                "factor": config.rope_factor,
+                "low_freq_factor": config.rope_low_freq_factor,
+                "high_freq_factor": config.rope_high_freq_factor,
+                "original_max_position_embeddings":
+                    config.rope_original_max_position,
+            }
+        return HFLlamaConfig(
+            head_dim=config.head_dim, attention_bias=False, mlp_bias=False,
+            rope_scaling=rope_scaling, **common,
+        )
     # Qwen2.5: derived head_dim, hardwired qkv biases
     from transformers.models.qwen2 import Qwen2Config as HFQwen2Config
 

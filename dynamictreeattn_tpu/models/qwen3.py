@@ -70,6 +70,13 @@ class Qwen3Config:
     # are dropped, standard for static-shape TPU MoE); raise for exactness.
     moe_capacity_factor: float = 1.5
     router_aux_coef: float = 0.001  # load-balance aux loss weight (0 = off)
+    # Llama-3.1+ rope scaling (beyond the reference's Qwen-only support):
+    # "llama3" rescales inv_freq by wavelength band, per HF's llama3 rope_init
+    rope_scaling: str | None = None  # None or "llama3"
+    rope_factor: float = 8.0
+    rope_low_freq_factor: float = 1.0
+    rope_high_freq_factor: float = 4.0
+    rope_original_max_position: int = 8192
 
     @property
     def is_moe(self) -> bool:
@@ -78,6 +85,15 @@ class Qwen3Config:
     @property
     def group(self) -> int:
         return self.num_attention_heads // self.num_key_value_heads
+
+    @property
+    def rope_scaling_tuple(self):
+        """Hashable rope-scaling spec for rope_tables (None = unscaled)."""
+        if self.rope_scaling is None:
+            return None
+        assert self.rope_scaling == "llama3", self.rope_scaling
+        return (self.rope_factor, self.rope_low_freq_factor,
+                self.rope_high_freq_factor, self.rope_original_max_position)
 
 
 # Published Qwen3 dense family configs (the reference's sweep models,
@@ -138,6 +154,36 @@ MODEL_CONFIGS: dict[str, Qwen3Config] = {
         num_attention_heads=32, num_key_value_heads=4, head_dim=128,
         tie_word_embeddings=False,
         num_experts=128, num_experts_per_tok=8, moe_intermediate_size=768,
+    ),
+    # Llama-3 family (published configs; beyond-reference model family —
+    # no q/k norm, no qkv bias, llama3 rope scaling, rms eps 1e-5)
+    "llama-tiny": Qwen3Config(  # CPU-test config, not a published model
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, tie_word_embeddings=True, use_qk_norm=False,
+        rms_norm_eps=1e-5, rope_theta=500_000.0, rope_scaling="llama3",
+        rope_factor=8.0, rope_original_max_position=64,
+    ),
+    "llama-3.2-1b": Qwen3Config(
+        vocab_size=128256, hidden_size=2048, intermediate_size=8192,
+        num_hidden_layers=16, num_attention_heads=32, num_key_value_heads=8,
+        head_dim=64, tie_word_embeddings=True, use_qk_norm=False,
+        rms_norm_eps=1e-5, rope_theta=500_000.0, rope_scaling="llama3",
+        rope_factor=32.0,
+    ),
+    "llama-3.2-3b": Qwen3Config(
+        vocab_size=128256, hidden_size=3072, intermediate_size=8192,
+        num_hidden_layers=28, num_attention_heads=24, num_key_value_heads=8,
+        head_dim=128, tie_word_embeddings=True, use_qk_norm=False,
+        rms_norm_eps=1e-5, rope_theta=500_000.0, rope_scaling="llama3",
+        rope_factor=32.0,
+    ),
+    "llama-3.1-8b": Qwen3Config(
+        vocab_size=128256, hidden_size=4096, intermediate_size=14336,
+        num_hidden_layers=32, num_attention_heads=32, num_key_value_heads=8,
+        head_dim=128, tie_word_embeddings=False, use_qk_norm=False,
+        rms_norm_eps=1e-5, rope_theta=500_000.0, rope_scaling="llama3",
+        rope_factor=8.0,
     ),
 }
 
@@ -211,12 +257,30 @@ def rms_norm(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
     return (out * weight.astype(jnp.float32)).astype(x.dtype)
 
 
-def rope_tables(positions: jnp.ndarray, head_dim: int, theta: float):
-    """(cos, sin) [n, head_dim] in fp32, HF rotate-half layout."""
+def rope_tables(positions: jnp.ndarray, head_dim: int, theta: float,
+                scaling: tuple | None = None):
+    """(cos, sin) [n, head_dim] in fp32, HF rotate-half layout.
+
+    `scaling` = (factor, low_freq_factor, high_freq_factor, original_max_pos)
+    applies Llama-3.1's wavelength-banded inv_freq rescale (HF
+    ROPE_INIT_FUNCTIONS["llama3"]): long wavelengths divide by `factor`,
+    short ones stay, the band between interpolates smoothly."""
     half = head_dim // 2
     inv_freq = 1.0 / (
         theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
     )  # [half]
+    if scaling is not None:
+        factor, lo, hi, orig = scaling
+        wavelen = 2.0 * jnp.pi / inv_freq
+        low_wavelen = orig / lo
+        high_wavelen = orig / hi
+        smooth = (orig / wavelen - lo) / (hi - lo)
+        mid = (1.0 - smooth) * (inv_freq / factor) + smooth * inv_freq
+        inv_freq = jnp.where(
+            wavelen > low_wavelen,
+            inv_freq / factor,
+            jnp.where(wavelen < high_wavelen, inv_freq, mid),
+        )
     angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [n, half]
     angles = jnp.concatenate([angles, angles], axis=-1)  # [n, dh]
     return jnp.cos(angles), jnp.sin(angles)
@@ -398,7 +462,8 @@ def forward_hidden_aux(
     mask) excludes padding rows from MoE routing stats and capacity."""
     c = config
     x = jnp.take(params["embed"], tokens, axis=0)
-    cos, sin = rope_tables(positions, c.head_dim, c.rope_theta)
+    cos, sin = rope_tables(positions, c.head_dim, c.rope_theta,
+                           c.rope_scaling_tuple)
 
     body = functools.partial(_layer, config=c, attn_fn=attn_fn, valid=valid)
 

@@ -187,7 +187,8 @@ def make_pp_train_step(
             the received activation, through this stage's layers."""
             tok = mb_field("tokens", mb)
             dep = mb_field("depth", mb)
-            cos, sin = rope_tables(dep, mc.head_dim, mc.rope_theta)
+            cos, sin = rope_tables(dep, mc.head_dim, mc.rope_theta,
+                                   mc.rope_scaling_tuple)
             x0 = _embed_vp(p["embed"], tok, "model").astype(dtype)
             x_in = jnp.where(stage == 0, x0, x_prev)
             y, _lb = stage_layers(
@@ -203,7 +204,8 @@ def make_pp_train_step(
             (each stage's own MoE layers) and masked by `valid` only."""
             tok = mb_field("tokens", mb)
             dep = mb_field("depth", mb)
-            cos, sin = rope_tables(dep, mc.head_dim, mc.rope_theta)
+            cos, sin = rope_tables(dep, mc.head_dim, mc.rope_theta,
+                                   mc.rope_scaling_tuple)
             x0 = _embed_vp(p["embed"], tok, "model").astype(dtype)
             xx = jnp.where(stage == 0, x0, x_in)
             y, lb = stage_layers(
@@ -353,7 +355,8 @@ def make_pp_train_step(
                     attn_fn = lambda q, k, v: tree_attention(
                         q, k, v, ld, *meta, block_sizes=bs, interpret=ec.interpret
                     )
-                cos, sin = rope_tables(dep, mc.head_dim, mc.rope_theta)
+                cos, sin = rope_tables(dep, mc.head_dim, mc.rope_theta,
+                                   mc.rope_scaling_tuple)
 
                 x0 = _embed_vp(p["embed"], tok, "model").astype(dtype)
                 x_in = jnp.where(stage == 0, x0, x_prev)

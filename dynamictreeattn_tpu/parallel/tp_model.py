@@ -285,7 +285,8 @@ def forward_hidden_tp(
     c = config
     x = _embed_vp(params_local["embed"], tokens, axis)
     x = x.astype(params_local["layers"]["wq"].dtype)
-    cos, sin = rope_tables(positions, c.head_dim, c.rope_theta)
+    cos, sin = rope_tables(positions, c.head_dim, c.rope_theta,
+                           c.rope_scaling_tuple)
 
     body = functools.partial(
         _layer_tp, config=c, attn_fn=attn_fn, tp=tp, axis=axis, sp=sp,

@@ -48,6 +48,7 @@ def _abstract_batch(mesh, dp, n, nq, nk, slots):
         "last_desc": arr((dp, n)),
         "w_logprob": arr((dp, n), jnp.float32),
         "w_entropy": arr((dp, n), jnp.float32),
+        "valid": arr((dp, n), jnp.float32),
         "kv_ids": arr((dp, nq, slots)),
         "kv_counts": arr((dp, nq)),
         "kv_types": arr((dp, nq, slots)),
