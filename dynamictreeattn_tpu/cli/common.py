@@ -38,6 +38,14 @@ def add_engine_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-remat", action="store_true",
                    help="disable activation rematerialization "
                    "(reference --act-ckpt inverse, dense.py:29-32)")
+    p.add_argument("--remat-policy", default=None,
+                   choices=["dots", "attn", "attn_dots"],
+                   help="save select tensors through remat: attn = keep "
+                        "the attention kernel outputs (fwd kernel runs "
+                        "once per step, ~13%% step win at 0.6B)")
+    p.add_argument("--remat-segments", type=int, default=0,
+                   help="nested sqrt(L) checkpointing: G outer segments "
+                        "(0 = plain per-layer remat)")
     p.add_argument("--loss-chunk", type=int, default=1024)
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--w-logprobs", type=float, default=-1.0)
@@ -72,6 +80,8 @@ def build_engine(mc, args):
         block_q=args.block_q,
         block_kv=args.block_kv,
         remat=not args.no_remat,
+        remat_policy=args.remat_policy,
+        remat_segments=args.remat_segments,
         temperature=args.temperature,
         loss_chunk=args.loss_chunk,
         attn_backend=args.attn_backend,

@@ -51,6 +51,24 @@ for case in cases:
         bench("remat policy=attn", EngineConfig(remat_policy="attn"))
     elif case == "remat_attn_dots":
         bench("remat policy=attn_dots", EngineConfig(remat_policy="attn_dots"))
+    elif case == "attn256":
+        bench("remat policy=attn, 256/256",
+              EngineConfig(block_q=256, block_kv=256, remat_policy="attn"))
+    elif case == "attn768":
+        bench("remat policy=attn, 768/768",
+              EngineConfig(block_q=768, block_kv=768, remat_policy="attn"))
+    elif case == "attn512_1024":
+        bench("remat policy=attn, 512/1024",
+              EngineConfig(block_q=512, block_kv=1024, remat_policy="attn"))
+    elif case == "attn1024_1024":
+        bench("remat policy=attn, 1024/1024",
+              EngineConfig(block_q=1024, block_kv=1024, remat_policy="attn"))
+    elif case == "attn512_2048":
+        bench("remat policy=attn, 512/2048",
+              EngineConfig(block_q=512, block_kv=2048, remat_policy="attn"))
+    elif case == "attn1024_512":
+        bench("remat policy=attn, 1024/512",
+              EngineConfig(block_q=1024, block_kv=512, remat_policy="attn"))
     elif case == "base512":
         bench("base (remat, chunk1024, 512/512)",
               EngineConfig(block_q=512, block_kv=512))
