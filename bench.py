@@ -50,6 +50,9 @@ def timed_step(fn, *args, iters=5):
 def main():
     mc = MODEL_CONFIGS[os.environ.get("DTA_BENCH_MODEL", "qwen3-0.6b")]
     blk = int(os.environ.get("DTA_BENCH_BLOCK", "512"))
+    # 512/1024 is ~2% faster on the knobs microbench but noise-level here
+    # (and it speeds the dense baseline more); 1024/1024 exceeds the 16MB
+    # VMEM scoped limit
     bkv = int(os.environ.get("DTA_BENCH_BKV", str(blk)))
     chunk = int(os.environ.get("DTA_BENCH_CHUNK", "1024"))
     remat = os.environ.get("DTA_BENCH_REMAT", "1") != "0"

@@ -32,8 +32,8 @@ def add_model_args(p: argparse.ArgumentParser) -> None:
 
 
 def add_engine_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--block-q", type=int, default=256)
-    p.add_argument("--block-kv", type=int, default=256)
+    p.add_argument("--block-q", type=int, default=512)
+    p.add_argument("--block-kv", type=int, default=512)
     p.add_argument("--attn-backend", default="pallas", choices=["pallas", "reference"])
     p.add_argument("--no-remat", action="store_true",
                    help="disable activation rematerialization "
