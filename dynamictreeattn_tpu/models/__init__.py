@@ -15,6 +15,8 @@ from dynamictreeattn_tpu.models.qwen3 import (
     logits_from_hidden,
 )
 
+from dynamictreeattn_tpu.models.generate import generate, init_cache
+
 __all__ = [
     "Qwen3Config",
     "MODEL_CONFIGS",
@@ -23,4 +25,6 @@ __all__ = [
     "forward_hidden_aux",
     "moe_apply",
     "logits_from_hidden",
+    "generate",
+    "init_cache",
 ]

@@ -1,0 +1,82 @@
+"""KV-cache sampler vs HF transformers generate (greedy parity).
+
+The reference delegates rollouts to its host framework; this sampler makes
+the build self-contained — the oracle is HF's own generate() on the same
+weights."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dynamictreeattn_tpu.models import MODEL_CONFIGS, init_params
+from dynamictreeattn_tpu.models.generate import generate
+from dynamictreeattn_tpu.models.hf_compat import hf_config, to_hf_state_dict
+
+
+def _hf_model(cfg, params):
+    import torch
+
+    hfc = hf_config(cfg)
+    if cfg.is_moe:
+        from transformers.models.qwen3_moe import Qwen3MoeForCausalLM as M
+    elif cfg.use_qk_norm:
+        from transformers.models.qwen3 import Qwen3ForCausalLM as M
+    elif not cfg.attention_bias:
+        from transformers.models.llama import LlamaForCausalLM as M
+    else:
+        from transformers.models.qwen2 import Qwen2ForCausalLM as M
+    m = M(hfc).eval()
+    sd = {k: torch.from_numpy(np.array(v))
+          for k, v in to_hf_state_dict(params, cfg).items()}
+    missing, unexpected = m.load_state_dict(sd, strict=False)
+    assert not [x for x in missing if "rotary" not in x], missing
+    assert not unexpected, unexpected
+    return m
+
+
+@pytest.mark.parametrize("name", ["qwen3-tiny", "llama-tiny"])
+def test_greedy_generate_matches_hf(name):
+    import torch
+
+    cfg = MODEL_CONFIGS[name]
+    params = init_params(cfg, jax.random.key(3), dtype=jnp.float32)
+    hf = _hf_model(cfg, params)
+
+    rng = np.random.default_rng(0)
+    lens = np.array([9, 13, 6], np.int32)
+    Lp = int(lens.max())
+    prompts = np.zeros((3, Lp), np.int32)
+    for b, L in enumerate(lens):
+        prompts[b, :L] = rng.integers(1, cfg.vocab_size, size=L)
+
+    max_new = 8
+    ours = generate(params, cfg, prompts, lens, max_new, greedy=True)
+
+    for b, L in enumerate(lens):
+        inp = torch.from_numpy(prompts[b:b + 1, :L].astype(np.int64))
+        with torch.no_grad():
+            out = hf.generate(
+                inp, max_new_tokens=max_new, do_sample=False,
+                pad_token_id=0,
+            )[0, L:].numpy()
+        np.testing.assert_array_equal(ours[b], out.astype(np.int32), err_msg=name)
+
+
+def test_batched_generate_matches_single():
+    """Right-padded batch rows must sample exactly like solo runs (greedy)."""
+    cfg = MODEL_CONFIGS["qwen3-tiny"]
+    params = init_params(cfg, jax.random.key(4), dtype=jnp.float32)
+    rng = np.random.default_rng(1)
+    lens = np.array([7, 12], np.int32)
+    Lp = int(lens.max())
+    prompts = np.zeros((2, Lp), np.int32)
+    for b, L in enumerate(lens):
+        prompts[b, :L] = rng.integers(1, cfg.vocab_size, size=L)
+
+    both = generate(params, cfg, prompts, lens, 6, greedy=True)
+    for b, L in enumerate(lens):
+        solo = generate(
+            params, cfg, prompts[b:b + 1, :L], lens[b:b + 1], 6, greedy=True
+        )
+        np.testing.assert_array_equal(both[b], solo[0])
