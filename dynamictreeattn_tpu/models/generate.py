@@ -127,10 +127,11 @@ def forward_step(params, config: Qwen3Config, tokens, positions, cache_k,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("config", "max_new", "greedy", "temperature")
+    jax.jit,
+    static_argnames=("config", "max_new", "greedy", "temperature", "eos_id"),
 )
 def _generate_jit(params, config, prompts, prompt_lens, key, max_new,
-                  temperature, greedy):
+                  temperature, greedy, eos_id):
     B, Lp = prompts.shape
     c = config
     dtype = params["layers"]["wq"].dtype
@@ -164,27 +165,35 @@ def _generate_jit(params, config, prompts, prompt_lens, key, max_new,
 
     def decode(carry, t):
         # carry token sits at position prompt_lens + t (t = 0 for tok0)
-        tok, ck, cv, key = carry
+        tok, done, ck, cv, key = carry
         pos_t = (prompt_lens + t)[:, None]
         logits, ck, cv = step_b(tok[:, None], pos_t, ck, cv, prompt_lens + t)
         key, kt = jax.random.split(key)
         nxt = sample(logits[:, -1], kt)
-        return (nxt, ck, cv, key), tok
+        if eos_id is not None:
+            done_next = done | (tok == eos_id)
+            nxt = jnp.where(done_next, jnp.int32(eos_id), nxt)
+        else:
+            done_next = done
+        return (nxt, done_next, ck, cv, key), tok
 
     # each step emits the carry token, so ys = [tok0, nxt1, ...] — exactly
     # the max_new sampled tokens
-    (_, _, _, _), toks = jax.lax.scan(
-        decode, (tok0, ck, cv, key), jnp.arange(max_new)
+    done0 = jnp.zeros((B,), bool)
+    (_, _, _, _, _), toks = jax.lax.scan(
+        decode, (tok0, done0, ck, cv, key), jnp.arange(max_new)
     )
     return toks.T  # [B, max_new]
 
 
 def generate(params, config: Qwen3Config, prompts, prompt_lens, max_new: int,
-             key=None, temperature: float = 1.0, greedy: bool = False):
+             key=None, temperature: float = 1.0, greedy: bool = False,
+             eos_id: int | None = None):
     """Sample `max_new` continuation tokens for each right-padded prompt row.
 
     prompts [B, Lp] int32, prompt_lens [B] — returns [B, max_new] int32
-    (compose full sequences as prompt[:len] + row)."""
+    (compose full sequences as prompt[:len] + row). With `eos_id`, every
+    token after a sampled eos is forced to eos (truncate host-side)."""
     import numpy as np
 
     if key is None:
@@ -193,4 +202,5 @@ def generate(params, config: Qwen3Config, prompts, prompt_lens, max_new: int,
         params, config, jnp.asarray(prompts, jnp.int32),
         jnp.asarray(prompt_lens, jnp.int32), key, int(max_new),
         float(temperature), bool(greedy),
+        None if eos_id is None else int(eos_id),
     ))

@@ -80,3 +80,20 @@ def test_batched_generate_matches_single():
             params, cfg, prompts[b:b + 1, :L], lens[b:b + 1], 6, greedy=True
         )
         np.testing.assert_array_equal(both[b], solo[0])
+
+
+def test_eos_forces_tail():
+    """Every token after a sampled eos is eos (truncation contract)."""
+    cfg = MODEL_CONFIGS["qwen3-tiny"]
+    params = init_params(cfg, jax.random.key(5), dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    prompts = rng.integers(1, cfg.vocab_size, size=(4, 8)).astype(np.int32)
+    lens = np.full((4,), 8, np.int32)
+    # greedy run without eos to find a token that actually appears
+    free = generate(params, cfg, prompts, lens, 12, greedy=True)
+    eos = int(free[0, 3])
+    out = generate(params, cfg, prompts, lens, 12, greedy=True, eos_id=eos)
+    for b in range(4):
+        hits = np.nonzero(out[b] == eos)[0]
+        if len(hits):
+            assert np.all(out[b, hits[0]:] == eos), out[b]
