@@ -51,6 +51,15 @@ for case in cases:
         bench("remat policy=attn", EngineConfig(remat_policy="attn"))
     elif case == "remat_attn_dots":
         bench("remat policy=attn_dots", EngineConfig(remat_policy="attn_dots"))
+    elif case == "attn_c2048":
+        bench("attn, chunk 2048", EngineConfig(
+            block_q=512, block_kv=512, remat_policy="attn", loss_chunk=2048))
+    elif case == "attn_c4096":
+        bench("attn, chunk 4096", EngineConfig(
+            block_q=512, block_kv=512, remat_policy="attn", loss_chunk=4096))
+    elif case == "attn_c512":
+        bench("attn, chunk 512", EngineConfig(
+            block_q=512, block_kv=512, remat_policy="attn", loss_chunk=512))
     elif case == "attn256":
         bench("remat policy=attn, 256/256",
               EngineConfig(block_q=256, block_kv=256, remat_policy="attn"))

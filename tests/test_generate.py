@@ -97,3 +97,26 @@ def test_eos_forces_tail():
         hits = np.nonzero(out[b] == eos)[0]
         if len(hits):
             assert np.all(out[b, hits[0]:] == eos), out[b]
+
+
+def test_generate_shards_over_data_axis():
+    """Sharded prompt rows (fake 8-device mesh): GSPMD partitions the batched
+    sampler — results identical to the unsharded run (rollout scale-out)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dynamictreeattn_tpu.parallel import make_mesh
+
+    cfg = MODEL_CONFIGS["qwen3-tiny"]
+    params = init_params(cfg, jax.random.key(7), dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    B, Lp = 8, 8
+    prompts = rng.integers(1, cfg.vocab_size, size=(B, Lp)).astype(np.int32)
+    lens = np.full((B,), Lp, np.int32)
+
+    ref = generate(params, cfg, prompts, lens, 6, greedy=True)
+
+    mesh = make_mesh(dp=8)
+    p_sh = jax.device_put(prompts, NamedSharding(mesh, P("data", None)))
+    l_sh = jax.device_put(lens, NamedSharding(mesh, P("data")))
+    out = generate(params, cfg, p_sh, l_sh, 6, greedy=True)
+    np.testing.assert_array_equal(out, ref)
