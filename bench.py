@@ -54,7 +54,8 @@ def main():
     # (and it speeds the dense baseline more); 1024/1024 exceeds the 16MB
     # VMEM scoped limit
     bkv = int(os.environ.get("DTA_BENCH_BKV", str(blk)))
-    chunk = int(os.environ.get("DTA_BENCH_CHUNK", "1024"))
+    # 2048 is ~1% over 1024 (tpu_ab_knobs); bigger is flat
+    chunk = int(os.environ.get("DTA_BENCH_CHUNK", "2048"))
     remat = os.environ.get("DTA_BENCH_REMAT", "1") != "0"
     policy = os.environ.get("DTA_BENCH_REMAT_POLICY") or None
     segments = int(os.environ.get("DTA_BENCH_SEGMENTS", "0"))

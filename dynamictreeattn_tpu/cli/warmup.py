@@ -23,12 +23,16 @@ import sys
 import time
 
 
-def _pow2s_upto(n: int):
-    w, out = 1, []
-    while w <= n:
+def _pow2_widths(nblocks: int):
+    """Every slot width the engine can emit for `nblocks` blocks: powers of
+    two up to AND INCLUDING _next_pow2(nblocks) (the engine pads the actual
+    slot count to the next power of two — tree_engine.prepare)."""
+    out, w = [], 1
+    while w < nblocks:
         out.append(w)
         w *= 2
-    return out or [1]
+    out.append(w)  # == _next_pow2(nblocks)
+    return out
 
 
 def main(argv=None):
@@ -40,10 +44,12 @@ def main(argv=None):
     p.add_argument("--max-len", type=int, default=16384,
                    help="largest packed-trie bucket to pre-compile")
     p.add_argument("--min-len", type=int, default=0)
-    p.add_argument("--widths", default="auto",
-                   help="'auto' (kv width = q width, every pow2 up to the "
-                        "block count), 'max' (worst case only), or a comma "
-                        "list of widths")
+    p.add_argument("--widths", default="square",
+                   help="'square' (kv width = q width, every pow2 the engine "
+                        "can emit — the common case since kv/q counts "
+                        "correlate), 'cross' (full kv x q width product — "
+                        "exhaustive, quadratic compiles), 'max' (worst case "
+                        "only), or a comma list of widths")
     p.add_argument("--fwd-only", action="store_true",
                    help="compile engine.loss (inference) instead of "
                         "loss_and_grad")
@@ -75,10 +81,15 @@ def main(argv=None):
     total = 0.0
     for n_pad in buckets:
         nq, nk = n_pad // ec.block_q, n_pad // ec.block_kv
-        if args.widths == "auto":
-            pairs = [(w, w) for w in _pow2s_upto(max(nq, nk))]
+        kv_ws, q_ws = _pow2_widths(nk), _pow2_widths(nq)
+        if args.widths == "square":
+            depth = max(len(kv_ws), len(q_ws))
+            ext = lambda ws: ws + [ws[-1]] * (depth - len(ws))
+            pairs = list(zip(ext(kv_ws), ext(q_ws)))
+        elif args.widths == "cross":
+            pairs = [(kw, qw) for kw in kv_ws for qw in q_ws]
         elif args.widths == "max":
-            pairs = [(_pow2s_upto(nk)[-1], _pow2s_upto(nq)[-1])]
+            pairs = [(kv_ws[-1], q_ws[-1])]
         else:
             ws = [int(x) for x in args.widths.split(",")]
             pairs = [(w, w) for w in ws]

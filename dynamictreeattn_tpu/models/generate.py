@@ -128,10 +128,13 @@ def forward_step(params, config: Qwen3Config, tokens, positions, cache_k,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "max_new", "greedy", "temperature", "eos_id"),
+    static_argnames=("config", "max_new", "greedy", "use_eos"),
 )
 def _generate_jit(params, config, prompts, prompt_lens, key, max_new,
-                  temperature, greedy, eos_id):
+                  temperature, greedy, use_eos, eos_id):
+    # temperature and eos_id are TRACED (plain numeric operands) so sweeping
+    # or annealing them never recompiles; greedy/use_eos change control flow
+    # and stay static
     B, Lp = prompts.shape
     c = config
     dtype = params["layers"]["wq"].dtype
@@ -170,9 +173,9 @@ def _generate_jit(params, config, prompts, prompt_lens, key, max_new,
         logits, ck, cv = step_b(tok[:, None], pos_t, ck, cv, prompt_lens + t)
         key, kt = jax.random.split(key)
         nxt = sample(logits[:, -1], kt)
-        if eos_id is not None:
+        if use_eos:
             done_next = done | (tok == eos_id)
-            nxt = jnp.where(done_next, jnp.int32(eos_id), nxt)
+            nxt = jnp.where(done_next, eos_id.astype(jnp.int32), nxt)
         else:
             done_next = done
         return (nxt, done_next, ck, cv, key), tok
@@ -201,6 +204,6 @@ def generate(params, config: Qwen3Config, prompts, prompt_lens, max_new: int,
     return np.asarray(_generate_jit(
         params, config, jnp.asarray(prompts, jnp.int32),
         jnp.asarray(prompt_lens, jnp.int32), key, int(max_new),
-        float(temperature), bool(greedy),
-        None if eos_id is None else int(eos_id),
+        jnp.float32(temperature), bool(greedy),
+        eos_id is not None, jnp.int32(eos_id if eos_id is not None else 0),
     ))

@@ -184,7 +184,7 @@ def tree_attention_ring(
     if hq % hkv:
         raise ValueError(f"{hq=} not a multiple of {hkv=}")
     if n_loc % block_sizes.block_q or n_loc % block_sizes.block_kv:
-        raise ValueError(f"{n_loc=} must divide block sizes {block_sizes}")
+        raise ValueError(f"block sizes {block_sizes} must divide {n_loc=}")
     group = hq // hkv
     if scale is None:
         scale = dh**-0.5

@@ -139,48 +139,54 @@ def make_pp_train_step(
     perm = [(i, (i + 1) % pp) for i in range(pp)]
     perm_bwd = [(i, (i - 1) % pp) for i in range(pp)]
 
+    # ---- helpers shared by both schedules --------------------------------
+    def make_mb_field(batch, M):
+        def mb_field(name, mb):
+            return jax.lax.dynamic_index_in_dim(
+                batch[name][0], jnp.clip(mb, 0, M - 1), axis=0, keepdims=False
+            )
+
+        return mb_field
+
+    def make_attn_for(mb_field, mb):
+        ld = mb_field("last_desc", mb)
+        if ec.attn_backend == "reference":
+            return lambda q, k, v: tree_attention_reference(q, k, v, ld)
+        meta = tuple(mb_field(f, mb) for f in _META_FIELDS)
+        bs = BlockSizes(ec.block_q, ec.block_kv)
+        return lambda q, k, v: tree_attention(
+            q, k, v, ld, *meta, block_sizes=bs, interpret=ec.interpret
+        )
+
+    def stage_layers(p, x, attn_fn, cos, sin, val):
+        body = functools.partial(
+            _layer_tp, config=mc, attn_fn=attn_fn, tp=tp, axis="model",
+            valid=val,
+        )
+
+        def scan_fn(carry, lp):
+            x, lb = carry
+            out, lb_i = body(x, lp, cos, sin)  # dense: lb_i is 0
+            return (out, lb + lb_i), None
+
+        if ec.remat:
+            from dynamictreeattn_tpu.models.qwen3 import _remat_policy
+
+            scan_fn = jax.checkpoint(
+                scan_fn, prevent_cse=False,
+                policy=_remat_policy(ec.remat_policy),
+            )
+        (x, lb), _ = jax.lax.scan(scan_fn, (x, jnp.float32(0)), p["layers"])
+        return x, lb
+
     def local_step_1f1b(params, batch):
         stage = jax.lax.axis_index("pipe")
         toks = batch["tokens"][0]  # [M, n]
         M, n = toks.shape
         S = 2 * pp - 1  # ring-buffer slots (max in-flight at stage 0)
         dtype = params["layers"]["wq"].dtype
-
-        def mb_field(name, mb):
-            return jax.lax.dynamic_index_in_dim(
-                batch[name][0], jnp.clip(mb, 0, M - 1), axis=0, keepdims=False
-            )
-
-        def make_attn(mb):
-            meta = tuple(mb_field(f, mb) for f in _META_FIELDS)
-            ld = mb_field("last_desc", mb)
-            if ec.attn_backend == "reference":
-                return lambda q, k, v: tree_attention_reference(q, k, v, ld)
-            bs = BlockSizes(ec.block_q, ec.block_kv)
-            return lambda q, k, v: tree_attention(
-                q, k, v, ld, *meta, block_sizes=bs, interpret=ec.interpret
-            )
-
-        def stage_layers(p, x, attn_fn, cos, sin, val):
-            body = functools.partial(
-                _layer_tp, config=mc, attn_fn=attn_fn, tp=tp, axis="model",
-                valid=val,
-            )
-
-            def scan_fn(carry, lp):
-                x, lb = carry
-                out, lb_i = body(x, lp, cos, sin)  # dense: lb_i is 0
-                return (out, lb + lb_i), None
-
-            if ec.remat:
-                from dynamictreeattn_tpu.models.qwen3 import _remat_policy
-
-                scan_fn = jax.checkpoint(
-                    scan_fn, prevent_cse=False,
-                    policy=_remat_policy(ec.remat_policy),
-                )
-            (x, lb), _ = jax.lax.scan(scan_fn, (x, jnp.float32(0)), p["layers"])
-            return x, lb
+        mb_field = make_mb_field(batch, M)
+        make_attn = functools.partial(make_attn_for, mb_field)
 
         def stage_fwd(p, mb, x_prev):
             """One stage forward (no grad tracking): embed on stage 0, else
@@ -309,58 +315,25 @@ def make_pp_train_step(
         toks = batch["tokens"][0]  # [M, n]
         M, n = toks.shape
 
+        mb_field = make_mb_field(batch, M)
+
         def loss_fn(p):
             dtype = p["layers"]["wq"].dtype
 
-            def mb_field(name, t):
-                mb = jnp.clip(t - stage, 0, M - 1)
-                return jax.lax.dynamic_index_in_dim(
-                    batch[name][0], mb, axis=0, keepdims=False
-                )
-
-            def stage_layers(x, attn_fn, cos, sin, val):
-                body = functools.partial(
-                    _layer_tp, config=mc, attn_fn=attn_fn, tp=tp, axis="model",
-                    valid=val,
-                )
-
-                def scan_fn(carry, lp):
-                    x, lb = carry
-                    out, lb_i = body(x, lp, cos, sin)  # dense: lb_i is 0
-                    return (out, lb + lb_i), None
-
-                if ec.remat:
-                    from dynamictreeattn_tpu.models.qwen3 import _remat_policy
-
-                    scan_fn = jax.checkpoint(
-                        scan_fn, prevent_cse=False,
-                        policy=_remat_policy(ec.remat_policy),
-                    )
-                (x, lb), _ = jax.lax.scan(
-                    scan_fn, (x, jnp.float32(0)), p["layers"]
-                )
-                return x, lb
-
             def tick(carry, t):
                 x_prev, loss_acc, lp_acc, ent_acc, lb_acc = carry
-                tok = mb_field("tokens", t)  # [n]
-                dep = mb_field("depth", t)
-                meta = tuple(mb_field(f, t) for f in _META_FIELDS)
-                if ec.attn_backend == "reference":
-                    ld = mb_field("last_desc", t)
-                    attn_fn = lambda q, k, v: tree_attention_reference(q, k, v, ld)
-                else:
-                    ld = mb_field("last_desc", t)
-                    bs = BlockSizes(ec.block_q, ec.block_kv)
-                    attn_fn = lambda q, k, v: tree_attention(
-                        q, k, v, ld, *meta, block_sizes=bs, interpret=ec.interpret
-                    )
+                mb = t - stage
+                tok = mb_field("tokens", mb)  # [n]
+                dep = mb_field("depth", mb)
+                attn_fn = make_attn_for(mb_field, mb)
                 cos, sin = rope_tables(dep, mc.head_dim, mc.rope_theta,
-                                   mc.rope_scaling_tuple)
+                                       mc.rope_scaling_tuple)
 
                 x0 = _embed_vp(p["embed"], tok, "model").astype(dtype)
                 x_in = jnp.where(stage == 0, x0, x_prev)
-                y, lb = stage_layers(x_in, attn_fn, cos, sin, mb_field("valid", t))
+                y, lb = stage_layers(
+                    p, x_in, attn_fn, cos, sin, mb_field("valid", mb)
+                )
 
                 # last stage: final norm + loss on the microbatch leaving the
                 # pipe this tick (masked to 0 on bubbles / other stages).
@@ -370,11 +343,10 @@ def make_pp_train_step(
                 h = mpar_in(rms_norm(y, p["final_norm"], mc.rms_norm_eps), "model")
                 w_local = p["embed"].T if mc.tie_word_embeddings else p["lm_head"]
                 l, aux = vp_tree_loss_from_hidden(
-                    h, w_local, tok, mb_field("parent", t),
-                    mb_field("w_logprob", t), mb_field("w_entropy", t),
+                    h, w_local, tok, mb_field("parent", mb),
+                    mb_field("w_logprob", mb), mb_field("w_entropy", mb),
                     ec.temperature, ec.loss_chunk,
                 )
-                mb = t - stage
                 live = ((mb >= 0) & (mb < M) & (stage == pp - 1)).astype(l.dtype)
                 # the router lb loss is per-STAGE (each stage's own MoE
                 # layers), masked to real microbatches — the summed per-stage

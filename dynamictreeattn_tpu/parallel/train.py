@@ -245,17 +245,22 @@ def stack_batches(
         ]
         rkv_w = _next_pow2(max(m.kv_ids.shape[-1] for m in rmetas))
         rq_w = _next_pow2(max(m.q_ids.shape[-1] for m in rmetas))
-        rmetas = [
-            build_ring_block_meta(
-                p.last_desc, sp, cfg.block_q, cfg.block_kv,
-                min_kv_slots=rkv_w, min_q_slots=rq_w,
-            )
-            for p in packeds
-        ]
+
+        def _pad_slots(a, w, edge):
+            # extra slots: repeat the last id (pipeline never re-DMAs) but
+            # zero the type (compute skipped); counts are unchanged, so this
+            # equals rebuilding with min_*_slots=w at half the host cost
+            pad = [(0, 0)] * (a.ndim - 1) + [(0, w - a.shape[-1])]
+            return np.pad(a, pad, mode="edge" if edge else "constant")
+
+        widths = {"kv_ids": (rkv_w, True), "kv_types": (rkv_w, False),
+                  "q_ids": (rq_w, True), "q_types": (rq_w, False)}
         for f in _META_FIELDS:
-            arrays["ring_" + f] = np.stack(
-                [getattr(m, f) for m in rmetas]
-            ).astype(np.int32)
+            vals = [getattr(m, f) for m in rmetas]
+            if f in widths:
+                w, edge = widths[f]
+                vals = [_pad_slots(v, w, edge) for v in vals]
+            arrays["ring_" + f] = np.stack(vals).astype(np.int32)
     return StackedBatch(arrays={k: jnp.asarray(v) for k, v in arrays.items()},
                         packeds=packeds)
 

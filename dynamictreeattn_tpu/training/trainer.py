@@ -98,6 +98,11 @@ class Trainer:
 
             if train_config.fsdp:
                 raise ValueError("fsdp + pipeline not supported yet")
+            if train_config.ep:
+                raise ValueError(
+                    "ep (data-axis expert parallelism) + pipeline not "
+                    "supported yet"
+                )
             self._step_fn = make_pp_train_step(
                 self.mc, self.mesh, self.ec, optimizer=self.optimizer,
                 schedule=train_config.pp_schedule,

@@ -411,10 +411,13 @@ def build_ring_block_meta(
     kernel shape serves every ring step)."""
     n = len(last_desc)
     if n % sp:
-        raise ValueError(f"{n=} must divide sp={sp}")
+        raise ValueError(f"sp={sp} must divide the padded length {n=}")
     n_loc = n // sp
     if n_loc % block_q or n_loc % block_kv:
-        raise ValueError("shard length must divide both block sizes")
+        raise ValueError(
+            f"both block sizes ({block_q}, {block_kv}) must divide the "
+            f"shard length {n_loc}"
+        )
     nq, nk = n // block_q, n // block_kv
     nq_loc, nk_loc = n_loc // block_q, n_loc // block_kv
     ld = np.asarray(last_desc, dtype=np.int64).reshape(nk, block_kv)
