@@ -68,8 +68,8 @@ def local_data_ranks(mesh) -> list[int]:
     DP batches stay host-local and gradient psums ride ICI before DCN."""
     local = {d.id for d in jax.local_devices()}
     ranks = []
-    devs = mesh.devices  # [dp, tp]
+    devs = mesh.devices  # [dp, ...] — data is the leading mesh axis
     for r in range(devs.shape[0]):
-        if any(d.id in local for d in devs[r]):
+        if any(d.id in local for d in devs[r].flat):
             ranks.append(r)
     return ranks

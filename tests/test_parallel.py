@@ -416,3 +416,39 @@ def test_sharded_step_qwen25_variant():
     np.testing.assert_allclose(float(loss), total_loss, rtol=1e-4)
     rows = compare_grads(total_grads, jax.device_get(grads))
     assert rows[0][1] < 1e-3, rows[0]
+
+
+def test_ring_seq_parallel_with_fsdp():
+    """Ring SP × FSDP × TP compose: 2×2×2 step matches the plain sharded step."""
+    rng = np.random.default_rng(23)
+    tries = []
+    for _ in range(2):
+        seqs, attachs = random_trie_batch(
+            rng, n_seqs=6, vocab=TINY4.vocab_size, max_len=24
+        )
+        tries.append(TokenTrie(seqs, attachs))
+    mesh = make_mesh(dp=2, tp=2, sp=2)
+    params = init_params(TINY4, jax.random.key(0), dtype=jnp.float32)
+    batch = stack_batches(tries, ECFG, sp=2, sp_mode="ring")
+
+    base = make_train_step(TINY4, mesh, ECFG, sp_mode="ring")
+    loss0, grads0, _ = base(shard_params(params, mesh, TINY4), batch.arrays)
+
+    fstep = make_train_step(TINY4, mesh, ECFG, sp_mode="ring", fsdp=True,
+                            fsdp_min_size=1)
+    fsharded = shard_params(params, mesh, TINY4, fsdp=True, fsdp_min_size=1)
+    loss1, grads1, _ = fstep(fsharded, batch.arrays)
+    np.testing.assert_allclose(float(loss1), float(loss0), rtol=1e-5)
+    rows = compare_grads(jax.device_get(grads0), jax.device_get(grads1))
+    assert rows[0][1] < 1e-5, rows[0]
+
+
+def test_local_data_ranks_on_fake_mesh():
+    """Single host owns every device → every data rank is local (and the
+    iteration handles the full 4-axis mesh, not just [dp, tp])."""
+    from dynamictreeattn_tpu.parallel.distributed import local_data_ranks
+
+    mesh = make_mesh(dp=2, tp=2, sp=2)
+    assert local_data_ranks(mesh) == [0, 1]
+    mesh2 = make_mesh(dp=4, tp=2)
+    assert local_data_ranks(mesh2) == [0, 1, 2, 3]
