@@ -16,10 +16,12 @@ def bench_matmul(m, k, n, iters=20):
 
     @jax.jit
     def f(a, b):
-        # chain matmuls to amortize dispatch
+        # chain [m,k]@[k,n] then [m,n]@[n,k] pairs to amortize dispatch
+        # without requiring k == n
         x = a
-        for _ in range(8):
-            x = jnp.dot(x, b, preferred_element_type=jnp.bfloat16)
+        for _ in range(4):
+            y = jnp.dot(x, b, preferred_element_type=jnp.bfloat16)
+            x = jnp.dot(y, b.T, preferred_element_type=jnp.bfloat16)
         return jnp.sum(x.astype(jnp.float32))
 
     float(f(a, b))
