@@ -118,3 +118,29 @@ def test_permutes_preserve_loss_and_grads():
     for g in grads[1:]:
         rows = compare_grads(grads[0], g)
         assert rows[0][1] < 1e-3, rows[0]
+
+
+def test_engine_edge_case_tries():
+    """Degenerate inputs the reference's engine would hit in RL practice:
+    one sequence, exact duplicates (leafization folds them), length-1
+    sequences, and strict-prefix pairs."""
+    mc = TINY
+    ec = ECFG
+    e = TreeEngine(mc, ec)
+    p = init_params(mc, jax.random.key(0), dtype=jnp.float32)
+
+    single = [np.array([5, 6, 7], np.int32)]
+    dup = [np.array([5, 6, 7], np.int32), np.array([5, 6, 7], np.int32)]
+    l1, _, _ = e.loss_and_grad(p, e.prepare(TokenTrie(single, [{}])))
+    l2, _, _ = e.loss_and_grad(p, e.prepare(TokenTrie(dup, [{}, {}])))
+    np.testing.assert_allclose(float(l2), 2 * float(l1), rtol=1e-6)
+
+    for seqs in (
+        [np.array([9], np.int32), np.array([9, 4], np.int32)],
+        [np.array([5, 6], np.int32), np.array([5, 6, 7, 8], np.int32)],
+    ):
+        b = e.prepare(TokenTrie(seqs, [{} for _ in seqs]))
+        l, _, _ = e.loss_and_grad(p, b)
+        assert np.isfinite(float(l))
+        fw = e.forward(p, b)
+        assert sorted(fw) == list(range(len(seqs)))
