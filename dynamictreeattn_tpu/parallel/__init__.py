@@ -21,6 +21,7 @@ from dynamictreeattn_tpu.parallel.train import (
     param_specs,
     shard_params,
     stack_batches,
+    batch_partition_specs,
 )
 from dynamictreeattn_tpu.parallel.pipeline import (
     make_pp_train_step,
@@ -50,6 +51,7 @@ __all__ = [
     "param_specs",
     "shard_params",
     "stack_batches",
+    "batch_partition_specs",
     "LB_by_n_tokens",
     "LB_by_TM",
     "LB_by_DFS_and_TM",

@@ -20,7 +20,8 @@ import dataclasses
 
 import jax
 
-__all__ = ["initialize_multihost", "local_data_ranks", "HostInfo"]
+__all__ = ["initialize_multihost", "local_data_ranks", "put_global",
+           "HostInfo"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -73,3 +74,25 @@ def local_data_ranks(mesh) -> list[int]:
         if any(d.id in local for d in devs[r].flat):
             ranks.append(r)
     return ranks
+
+
+def put_global(tree, mesh, specs):
+    """Place host-replicated numpy/jnp leaves as GLOBAL jax.Arrays sharded
+    per `specs` — the multi-host replacement for jax.device_put.
+
+    Every process must hold identical full-size values (the deterministic
+    recipe: each host computes stack_batches / init_params on the same
+    global inputs); each process contributes only the shards its devices
+    own via make_array_from_callback. On a single host this reduces to
+    device_put."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def place(x, spec):
+        sh = NamedSharding(mesh, spec)
+        a = np.asarray(x)
+        return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
+
+    return jax.tree.map(
+        place, tree, specs, is_leaf=lambda x: isinstance(x, PartitionSpec)
+    )

@@ -38,6 +38,7 @@ __all__ = [
     "shard_params",
     "stack_batches",
     "StackedBatch",
+    "batch_partition_specs",
     "make_train_step",
     "init_opt_state",
 ]
@@ -194,6 +195,25 @@ class StackedBatch:
 _BATCH_FIELDS = ("tokens", "depth", "parent", "last_desc", "w_logprob",
                  "w_entropy", "valid")
 _META_FIELDS = ("kv_ids", "kv_counts", "kv_types", "q_ids", "q_counts", "q_types")
+
+
+def batch_partition_specs(sp: int = 1, sp_mode: str = "ulysses") -> dict:
+    """PartitionSpec per batch-array field (what make_train_step shards by —
+    also the layout multi-host data loading must produce)."""
+    bspec = {f: P("data", None) for f in _BATCH_FIELDS}
+    bspec["kv_counts"] = bspec["q_counts"] = P("data", None)
+    for f in ("kv_ids", "kv_types", "q_ids", "q_types"):
+        bspec[f] = P("data", None, None)
+    if sp > 1:
+        for f in ("edge_parent", "edge_token", "edge_w"):
+            bspec[f] = P("data", "seq", None)
+    if sp > 1 and sp_mode == "ring":
+        for f in ("kv_ids", "kv_types", "q_ids", "q_types"):
+            bspec["ring_" + f] = P("data", None, None, None, None)
+        bspec["ring_kv_counts"] = bspec["ring_q_counts"] = P(
+            "data", None, None, None
+        )
+    return bspec
 
 
 def stack_batches(
@@ -385,19 +405,7 @@ def make_train_step(
     else:
         dims = None
         pspecs = param_specs(mc, ep_size)
-    bspec = {f: P("data", None) for f in _BATCH_FIELDS}
-    bspec["kv_counts"] = bspec["q_counts"] = P("data", None)
-    for f in ("kv_ids", "kv_types", "q_ids", "q_types"):
-        bspec[f] = P("data", None, None)
-    if sp > 1:
-        for f in ("edge_parent", "edge_token", "edge_w"):
-            bspec[f] = P("data", "seq", None)
-    if sp > 1 and sp_mode == "ring":
-        for f in ("kv_ids", "kv_types", "q_ids", "q_types"):
-            bspec["ring_" + f] = P("data", None, None, None, None)
-        bspec["ring_kv_counts"] = bspec["ring_q_counts"] = P(
-            "data", None, None, None
-        )
+    bspec = batch_partition_specs(sp, sp_mode)
 
     def local_loss_and_grad(params, batch):
         tokens = batch["tokens"][0]
