@@ -57,6 +57,8 @@ class TrainConfig:
     ckpt_every: int = 0  # 0 = only on demand
     log_every: int = 1
     skip_nonfinite: bool = True  # drop updates from non-finite-loss steps
+    multihost: bool = False  # place params/batches via put_global (every
+    #   process must feed identical global rollout batches per step)
 
 
 class Trainer:
@@ -132,7 +134,25 @@ class Trainer:
         self.set_params(params)
 
     def set_params(self, params) -> None:
-        if self.tc.pp > 1:
+        ep = (self.mesh.shape["data"] if (self.tc.ep and self.mc.is_moe)
+              else 1)
+        if self.tc.multihost:
+            from dynamictreeattn_tpu.parallel import (
+                fsdp_param_specs, param_specs, pp_param_specs,
+            )
+            from dynamictreeattn_tpu.parallel.distributed import put_global
+
+            if self.tc.pp > 1:
+                specs = pp_param_specs(self.mc, self.mesh.shape["pipe"])
+            elif self.tc.fsdp:
+                specs = fsdp_param_specs(
+                    self.mc, self.mesh.shape["data"],
+                    self.tc.fsdp_min_size, ep,
+                )
+            else:
+                specs = param_specs(self.mc, ep)
+            self.params = put_global(params, self.mesh, specs)
+        elif self.tc.pp > 1:
             from dynamictreeattn_tpu.parallel import shard_params_pp
 
             self.params = shard_params_pp(params, self.mesh, self.mc)
@@ -140,8 +160,7 @@ class Trainer:
             self.params = shard_params(
                 params, self.mesh, self.mc, fsdp=self.tc.fsdp,
                 fsdp_min_size=self.tc.fsdp_min_size,
-                ep=self.mesh.shape["data"] if (self.tc.ep and self.mc.is_moe)
-                else 1,
+                ep=ep,
             )
         self.opt_state = init_opt_state(self.optimizer, self.params)
 
@@ -203,9 +222,20 @@ class Trainer:
                 tries, self.ec, sp=self.mesh.shape.get("seq", 1),
                 sp_mode=self.tc.sp_mode,
             )
+        arrays = batch.arrays
+        if self.tc.multihost:
+            from dynamictreeattn_tpu.parallel import batch_partition_specs
+            from dynamictreeattn_tpu.parallel.distributed import put_global
+
+            specs = batch_partition_specs(
+                self.mesh.shape.get("seq", 1), self.tc.sp_mode
+            )
+            arrays = put_global(
+                arrays, self.mesh, {f: specs[f] for f in arrays}
+            )
         t0 = time.time()
         new_params, new_opt, loss, aux = self._step_fn(
-            self.params, self.opt_state, batch.arrays
+            self.params, self.opt_state, arrays
         )
         loss = float(loss)  # host sync
         dt = time.time() - t0

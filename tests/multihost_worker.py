@@ -77,3 +77,18 @@ gnorm = float(jax.jit(
 )(grads) ** 0.5)
 print(f"RESULT proc={jax.process_index()} ranks={local_data_ranks(mesh)} "
       f"loss={float(loss):.6f} gnorm={gnorm:.6f}", flush=True)
+
+# ---- second leg: the Trainer in multihost mode (put_global placement,
+# deterministic global binning on every process, optax update across hosts)
+from dynamictreeattn_tpu.training import TrainConfig, Trainer
+
+tc = TrainConfig(dp=2, tp=2, sp=2, learning_rate=1e-3, param_dtype="fp32",
+                 lb_block_size=32, multihost=True)
+tr = Trainer(TINY, ECFG, tc, mesh=mesh)
+tr.init(seed=0)
+seqs = [s for t in tries for s in t.inputs]
+attachs = [{} for _ in seqs]
+h1 = tr.train_step(seqs, attachs)
+h2 = tr.train_step(seqs, attachs)
+print(f"TRAINER proc={jax.process_index()} l1={h1['loss']:.6f} "
+      f"l2={h2['loss']:.6f} descend={h2['loss'] < h1['loss']}", flush=True)

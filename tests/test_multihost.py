@@ -38,9 +38,15 @@ def test_two_process_train_step_matches_single_process():
         line = [l for l in out.splitlines() if l.startswith("RESULT")][-1]
         kv = dict(tok.split("=") for tok in line.split()[1:] if "=" in tok)
         results[int(kv["proc"])] = (float(kv["loss"]), float(kv["gnorm"]))
-    assert set(results) == {0, 1}
+        tline = [l for l in out.splitlines() if l.startswith("TRAINER")][-1]
+        tkv = dict(tok.split("=") for tok in tline.split()[1:] if "=" in tok)
+        assert tkv["descend"] == "True", tline
+        results[int(kv["proc"]) + 10] = (float(tkv["l1"]), float(tkv["l2"]))
+    assert set(results) == {0, 1, 10, 11}
     # both processes agree bit-for-bit on the global loss and grad norm
     np.testing.assert_allclose(results[0], results[1], rtol=0)
+    # ... and on the multihost Trainer's per-step losses
+    np.testing.assert_allclose(results[10], results[11], rtol=0)
 
     # single-process oracle: same tries, fake 8-device mesh
     import jax
