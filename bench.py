@@ -131,4 +131,13 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # the tunneled TPU occasionally fails a first attempt with a transient
+    # backend error (RESOURCE_EXHAUSTED / FAILED_PRECONDITION); one retry
+    # after a pause has always succeeded
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001
+        print(f"# first attempt failed ({type(e).__name__}); retrying",
+              file=sys.stderr)
+        time.sleep(15)
+        main()

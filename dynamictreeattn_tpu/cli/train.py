@@ -50,6 +50,10 @@ def main(argv=None):
     p.add_argument("--ep", action="store_true",
                    help="MoE: shard experts over the data axis with token "
                         "all-to-all dispatch (E >> tp regime)")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed and place params/"
+                        "batches with put_global (run the same command "
+                        "on every host)")
     p.add_argument("--fsdp", action="store_true",
                    help="ZeRO-3: shard params/grads/opt state over the data axis")
     p.add_argument("--fsdp-min-size", type=int, default=1 << 16,
@@ -67,6 +71,12 @@ def main(argv=None):
     from dynamictreeattn_tpu.models import MODEL_CONFIGS
     from dynamictreeattn_tpu.training import TrainConfig, Trainer
 
+    if args.multihost:
+        from dynamictreeattn_tpu.parallel.distributed import (
+            initialize_multihost,
+        )
+
+        initialize_multihost()
     mc = MODEL_CONFIGS[args.model]
     _, ec = build_engine(mc, args)
     tc = TrainConfig(
@@ -76,6 +86,7 @@ def main(argv=None):
         weight_decay=args.weight_decay, grad_clip=args.grad_clip,
         grad_accum=args.grad_accum, warmup_steps=args.warmup_steps,
         fsdp=args.fsdp, fsdp_min_size=args.fsdp_min_size, ep=args.ep,
+        multihost=args.multihost,
         param_dtype=args.dtype if args.dtype == "bf16" else "fp32",
         lb_method=args.lb_method, lb_block_size=args.block_q,
         ckpt_dir=args.ckpt_dir, ckpt_every=args.ckpt_every,
