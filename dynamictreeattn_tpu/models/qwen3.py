@@ -155,6 +155,13 @@ MODEL_CONFIGS: dict[str, Qwen3Config] = {
         tie_word_embeddings=False,
         num_experts=128, num_experts_per_tok=8, moe_intermediate_size=768,
     ),
+    "qwen3-moe-demo": Qwen3Config(  # single-chip MoE bench config (~0.8B
+        # total, ~0.25B active) — NOT a published model
+        hidden_size=1024, intermediate_size=3072, num_hidden_layers=12,
+        num_attention_heads=16, num_key_value_heads=8, head_dim=128,
+        tie_word_embeddings=True,
+        num_experts=32, num_experts_per_tok=4, moe_intermediate_size=512,
+    ),
     # Llama-3 family (published configs; beyond-reference model family —
     # no q/k norm, no qkv bias, llama3 rope scaling, rms eps 1e-5)
     "llama-tiny": Qwen3Config(  # CPU-test config, not a published model
