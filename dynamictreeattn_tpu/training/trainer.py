@@ -178,11 +178,17 @@ class Trainer:
         self.set_params(out["params"])
         if out.get("opt_state") is not None:
             # re-shard restored opt state to match the freshly-inited layout
-            restored = out["opt_state"]
-            self.opt_state = jax.tree.map(
-                lambda like, val: jax.device_put(val, like.sharding),
-                self.opt_state, restored,
-            )
+            # (make_array_from_callback also covers multihost, where a plain
+            # device_put to non-addressable devices would fail)
+            def _place(like, val):
+                if not hasattr(like, "sharding"):
+                    return val
+                a = jax.device_get(val)
+                return jax.make_array_from_callback(
+                    a.shape, like.sharding, lambda idx: a[idx]
+                )
+
+            self.opt_state = jax.tree.map(_place, self.opt_state, out["opt_state"])
         extra = out.get("extra") or {}
         self.step_idx = int(extra.get("step", step or 0))
 
