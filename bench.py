@@ -137,7 +137,15 @@ if __name__ == "__main__":
     try:
         main()
     except Exception as e:  # noqa: BLE001
-        print(f"# first attempt failed ({type(e).__name__}); retrying",
+        transient = any(
+            tag in f"{type(e).__name__} {e}"
+            for tag in ("RESOURCE_EXHAUSTED", "FAILED_PRECONDITION",
+                        "ResourceExhausted", "FailedPrecondition",
+                        "UNAVAILABLE", "DEADLINE_EXCEEDED")
+        )
+        if not transient:
+            raise
+        print(f"# transient backend failure ({type(e).__name__}); retrying",
               file=sys.stderr)
         time.sleep(15)
         main()

@@ -21,7 +21,7 @@ import dataclasses
 import jax
 
 __all__ = ["initialize_multihost", "local_data_ranks", "put_global",
-           "HostInfo"]
+           "global_placer", "HostInfo"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -76,6 +76,16 @@ def local_data_ranks(mesh) -> list[int]:
     return ranks
 
 
+def global_placer(x, sharding):
+    """make_array_from_callback placement for one leaf (the multi-host
+    device_put): every process holds the full value, contributes only its
+    devices' shards."""
+    import numpy as np
+
+    a = np.asarray(x)
+    return jax.make_array_from_callback(a.shape, sharding, lambda idx: a[idx])
+
+
 def put_global(tree, mesh, specs):
     """Place host-replicated numpy/jnp leaves as GLOBAL jax.Arrays sharded
     per `specs` — the multi-host replacement for jax.device_put.
@@ -88,11 +98,7 @@ def put_global(tree, mesh, specs):
     import numpy as np
     from jax.sharding import NamedSharding, PartitionSpec
 
-    def place(x, spec):
-        sh = NamedSharding(mesh, spec)
-        a = np.asarray(x)
-        return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
-
     return jax.tree.map(
-        place, tree, specs, is_leaf=lambda x: isinstance(x, PartitionSpec)
+        lambda x, spec: global_placer(x, NamedSharding(mesh, spec)),
+        tree, specs, is_leaf=lambda x: isinstance(x, PartitionSpec),
     )

@@ -75,10 +75,12 @@ def pp_param_specs(config: Qwen3Config, pp: int) -> dict:
     return specs
 
 
-def shard_params_pp(params: dict, mesh, config: Qwen3Config) -> dict:
+def shard_params_pp(params: dict, mesh, config: Qwen3Config,
+                    placer=None) -> dict:
     specs = pp_param_specs(config, mesh.shape["pipe"])
+    put = placer or (lambda x, sh: jax.device_put(x, sh))
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: put(x, NamedSharding(mesh, s)),
         params, specs, is_leaf=lambda x: isinstance(x, P),
     )
 

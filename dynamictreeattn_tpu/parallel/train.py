@@ -167,13 +167,18 @@ def shard_params(
     fsdp: bool = False,
     fsdp_min_size: int = FSDP_MIN_SIZE,
     ep: int = 1,
+    placer=None,
 ) -> dict:
+    """`placer(x, NamedSharding)` overrides jax.device_put — pass a
+    make_array_from_callback-based placer for multi-host runs (see
+    parallel.distributed.put_global)."""
     if fsdp:
         specs = fsdp_param_specs(config, mesh.shape["data"], fsdp_min_size, ep)
     else:
         specs = param_specs(config, ep)
+    put = placer or (lambda x, sh: jax.device_put(x, sh))
     return jax.tree.map(
-        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        lambda x, s: put(x, NamedSharding(mesh, s)),
         params,
         specs,
         is_leaf=lambda x: isinstance(x, P),
@@ -218,7 +223,7 @@ def batch_partition_specs(sp: int = 1, sp_mode: str = "ulysses") -> dict:
 
 def stack_batches(
     tries_or_packed: list, cfg: EngineConfig, sp: int = 1,
-    sp_mode: str = "ulysses",
+    sp_mode: str = "ulysses", device: bool = True,
 ) -> StackedBatch:
     """Flatten+pad each rank's trie to a COMMON bucket and common metadata slot
     widths, then stack on the leading "data" axis.
@@ -281,8 +286,11 @@ def stack_batches(
                 w, edge = widths[f]
                 vals = [_pad_slots(v, w, edge) for v in vals]
             arrays["ring_" + f] = np.stack(vals).astype(np.int32)
-    return StackedBatch(arrays={k: jnp.asarray(v) for k, v in arrays.items()},
-                        packeds=packeds)
+    # device=False keeps host numpy (multihost placement re-shards via
+    # make_array_from_callback — uploading here would just round-trip)
+    if device:
+        arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
+    return StackedBatch(arrays=arrays, packeds=packeds)
 
 
 def _edge_arrays(packeds: list, sp: int, n_pad: int) -> dict:

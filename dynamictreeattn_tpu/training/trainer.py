@@ -136,39 +136,41 @@ class Trainer:
     def set_params(self, params) -> None:
         ep = (self.mesh.shape["data"] if (self.tc.ep and self.mc.is_moe)
               else 1)
+        placer = None
         if self.tc.multihost:
-            from dynamictreeattn_tpu.parallel import (
-                fsdp_param_specs, param_specs, pp_param_specs,
-            )
-            from dynamictreeattn_tpu.parallel.distributed import put_global
+            from dynamictreeattn_tpu.parallel.distributed import global_placer
 
-            if self.tc.pp > 1:
-                specs = pp_param_specs(self.mc, self.mesh.shape["pipe"])
-            elif self.tc.fsdp:
-                specs = fsdp_param_specs(
-                    self.mc, self.mesh.shape["data"],
-                    self.tc.fsdp_min_size, ep,
-                )
-            else:
-                specs = param_specs(self.mc, ep)
-            self.params = put_global(params, self.mesh, specs)
-        elif self.tc.pp > 1:
+            placer = global_placer  # spec selection stays in shard_params*
+        if self.tc.pp > 1:
             from dynamictreeattn_tpu.parallel import shard_params_pp
 
-            self.params = shard_params_pp(params, self.mesh, self.mc)
+            self.params = shard_params_pp(
+                params, self.mesh, self.mc, placer=placer
+            )
         else:
             self.params = shard_params(
                 params, self.mesh, self.mc, fsdp=self.tc.fsdp,
                 fsdp_min_size=self.tc.fsdp_min_size,
-                ep=ep,
+                ep=ep, placer=placer,
             )
         self.opt_state = init_opt_state(self.optimizer, self.params)
 
     def save(self, extra: dict | None = None) -> None:
         assert self._ckpt, "no ckpt_dir configured"
+        if self.tc.multihost:
+            # device_get raises on arrays spanning non-addressable devices;
+            # gather the full values to every host first
+            from jax.experimental import multihost_utils
+
+            params = multihost_utils.process_allgather(self.params, tiled=True)
+            opt_state = multihost_utils.process_allgather(
+                self.opt_state, tiled=True
+            )
+        else:
+            params = jax.device_get(self.params)
+            opt_state = jax.device_get(self.opt_state)
         self._ckpt.save(
-            self.step_idx, jax.device_get(self.params),
-            jax.device_get(self.opt_state),
+            self.step_idx, params, opt_state,
             extra={"step": self.step_idx, **(extra or {})},
         )
 
@@ -227,6 +229,7 @@ class Trainer:
             batch = stack_batches(
                 tries, self.ec, sp=self.mesh.shape.get("seq", 1),
                 sp_mode=self.tc.sp_mode,
+                device=not self.tc.multihost,
             )
         arrays = batch.arrays
         if self.tc.multihost:
@@ -266,7 +269,17 @@ class Trainer:
             for t in tries
         ]
         biggest = max(feats, key=lambda s: s["n_tree_tokens"])
-        self.time_model.add_data(dict(biggest, time=dt))
+        fit_dt = dt
+        if self.tc.multihost:
+            # every process must fit IDENTICAL cost models or the next
+            # step's binning (and therefore put_global's identical-global-
+            # values contract) diverges — use process 0's timing everywhere
+            from jax.experimental import multihost_utils
+
+            fit_dt = float(
+                multihost_utils.broadcast_one_to_all(np.float32(dt))
+            )
+        self.time_model.add_data(dict(biggest, time=fit_dt))
 
         rec = {
             "step": self.step_idx,
