@@ -9,6 +9,7 @@ Here at fp32 on CPU the bar is much tighter than the reference's bf16 ~1e-1:
 relative grad deviation must be < 1e-3."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -144,3 +145,23 @@ def test_engine_edge_case_tries():
         assert np.isfinite(float(l))
         fw = e.forward(p, b)
         assert sorted(fw) == list(range(len(seqs)))
+
+
+@pytest.mark.parametrize("seed", [101, 202, 303, 404, 505])
+def test_loss_parity_fuzz(seed):
+    """Seeded fuzz of the core oracle: tree loss == dense-replay loss over
+    varied random trie shapes (the reference validated exactly one workload;
+    this sweeps branchy/short/long mixes)."""
+    rng = np.random.default_rng(seed)
+    n_seqs = int(rng.integers(3, 14))
+    max_len = int(rng.integers(8, 40))
+    seqs, attachs = random_trie_batch(
+        rng, n_seqs=n_seqs, vocab=TINY.vocab_size, max_len=max_len
+    )
+    params = init_params(TINY, jax.random.key(seed), dtype=jnp.float32)
+    engine = TreeEngine(TINY, ECFG)
+    lt, _ = engine.loss(params, engine.prepare(TokenTrie(seqs, attachs)))
+    ld, _ = engine.loss(params, engine.prepare(
+        pack_sequences_dense(seqs, attachs, pad_multiple=ECFG.pad_multiple)
+    ))
+    np.testing.assert_allclose(float(lt), float(ld), rtol=1e-5)
