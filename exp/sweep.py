@@ -79,6 +79,9 @@ def main():
                     ["--permute", "random"])
             run_all(m, "tree_backward", f"{m}-TB-b512.jsonl",
                     ["--block-q", "512", "--block-kv", "512"])
+            run_all(m, "tree_backward", f"{m}-TB-b512-attn.jsonl",
+                    ["--block-q", "512", "--block-kv", "512",
+                     "--remat-policy", "attn"])
     else:
         # reference exp_dp.py / exp_dp_TM.py: binning × K × method, then run
         # bins and aggregate the simulated makespan
