@@ -18,6 +18,8 @@ from dynamictreeattn_tpu.parallel.train import (
     fsdp_param_specs,
     init_opt_state,
     make_train_step,
+    make_forward_step,
+    extract_forward,
     param_specs,
     shard_params,
     stack_batches,
@@ -41,6 +43,8 @@ from dynamictreeattn_tpu.parallel.time_model import TreeTimeModel
 __all__ = [
     "make_mesh",
     "make_train_step",
+    "make_forward_step",
+    "extract_forward",
     "fsdp_dims",
     "fsdp_param_specs",
     "init_opt_state",

@@ -25,6 +25,7 @@ from dynamictreeattn_tpu.ops.tree_attention import BlockSizes, tree_attention
 from dynamictreeattn_tpu.ops.tree_attention_ref import tree_attention_reference
 from dynamictreeattn_tpu.parallel.tp_model import forward_hidden_tp, tp_param_shard_info
 from dynamictreeattn_tpu.parallel.vocab_parallel import (
+    vp_tree_edge_logprobs,
     vp_tree_loss_edges,
     vp_tree_loss_from_hidden,
 )
@@ -40,6 +41,7 @@ __all__ = [
     "StackedBatch",
     "batch_partition_specs",
     "make_train_step",
+    "make_forward_step",
     "init_opt_state",
 ]
 
@@ -585,3 +587,76 @@ def make_train_step(
         return params, opt_state, loss, aux
 
     return opt_step
+
+
+def make_forward_step(
+    model_config: Qwen3Config,
+    mesh,
+    engine_config: EngineConfig = EngineConfig(),
+):
+    """Sharded inference-mode per-edge logprobs — engine.forward at scale
+    (the RL behavior-logprob recompute, reference:
+    tree_training_engine.py:516-553, run.py tree_forward).
+
+    Returns step(params, batch_arrays) -> (lp_edge [dp, n], entropy [dp, n])
+    as global fp32 arrays; use StackedBatch.packeds[r].seq_path(...) to map
+    rank r's rows back to per-sequence logprob vectors (or
+    `extract_forward`)."""
+    mc, ec = model_config, engine_config
+    tp = mesh.shape["model"]
+    tp_param_shard_info(mc, tp)
+    pspecs = param_specs(mc)
+    bspec = batch_partition_specs()
+
+    def local_forward(params, batch):
+        tokens = batch["tokens"][0]
+        depth = batch["depth"][0]
+        parent = batch["parent"][0]
+        last_desc = batch["last_desc"][0]
+        valid = batch["valid"][0]
+        meta = tuple(batch[f][0] for f in _META_FIELDS)
+        if ec.attn_backend == "reference":
+            attn_fn = lambda q, k, v: tree_attention_reference(q, k, v, last_desc)
+        else:
+            bs = BlockSizes(ec.block_q, ec.block_kv)
+            attn_fn = lambda q, k, v: tree_attention(
+                q, k, v, last_desc, *meta, block_sizes=bs, interpret=ec.interpret
+            )
+        h, _ = forward_hidden_tp(
+            params, mc, tokens, depth, attn_fn, tp=tp, remat=ec.remat,
+            remat_policy=ec.remat_policy, remat_segments=ec.remat_segments,
+            valid=valid,
+        )
+        w_local = params["embed"].T if mc.tie_word_embeddings else params["lm_head"]
+        lp, ent = vp_tree_edge_logprobs(
+            h, w_local, tokens, parent, ec.temperature, ec.loss_chunk
+        )
+        return lp[None], ent[None]
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(pspecs, bspec),
+        out_specs=(P("data", None), P("data", None)),
+        check_vma=False,
+    )
+    def step(params, batch):
+        return local_forward(params, batch)
+
+    return jax.jit(step)
+
+
+def extract_forward(batch: StackedBatch, lp_edge) -> list:
+    """Per data rank: {_sequence_batch_id: fp32 logprob array of length
+    len(seq)-1} from a make_forward_step result (engine.forward's return
+    contract, reference: tree_training_engine.py:226-228,530). One dict per
+    rank because batch ids are only unique within a rank's trie."""
+    lp = np.asarray(lp_edge)
+    out = []
+    for r, packed in enumerate(batch.packeds):
+        rank = {}
+        for s in range(len(packed.seq_batch_ids)):
+            path = packed.seq_path(s)
+            rank[int(packed.seq_batch_ids[s])] = lp[r, path[1:]]
+        out.append(rank)
+    return out

@@ -30,6 +30,7 @@ __all__ = [
     "vp_position_stats",
     "vp_label_logits",
     "vp_tree_loss_from_hidden",
+    "vp_tree_edge_logprobs",
     "vp_tree_loss_edges",
 ]
 
@@ -79,6 +80,27 @@ def vp_label_logits(h_at_parent, tokens, w_local, temperature, axis="model"):
     return mpar_out(jnp.where(in_range, ll, 0.0), axis)
 
 
+def vp_tree_edge_logprobs(
+    hidden,
+    w_local,
+    tokens,
+    parent,
+    temperature: float = 1.0,
+    chunk_size: int = 1024,
+    axis: str = "model",
+):
+    """(lp_edge [n], entropy [n]) over a vocab-sharded LM head — the
+    inference half of vp_tree_loss_from_hidden (RL behavior-logprob
+    recompute, reference: tree_training_engine.py:516-553)."""
+    lse, entropy = vp_position_stats(hidden, w_local, temperature, chunk_size, axis)
+    par = jnp.maximum(parent, 0)
+    h_par = jnp.take(hidden, par, axis=0)
+    label_logit = vp_label_logits(h_par, tokens, w_local, temperature, axis)
+    lp_edge = label_logit - jnp.take(lse, par)
+    lp_edge = jnp.where(parent >= 0, lp_edge, 0.0)
+    return lp_edge, entropy
+
+
 def vp_tree_loss_from_hidden(
     hidden,
     w_local,
@@ -93,12 +115,9 @@ def vp_tree_loss_from_hidden(
     """Sharded-LM-head version of ops.losses.tree_loss_from_hidden.
 
     Returns (loss, aux); loss is identical on every `axis` rank."""
-    lse, entropy = vp_position_stats(hidden, w_local, temperature, chunk_size, axis)
-    par = jnp.maximum(parent, 0)
-    h_par = jnp.take(hidden, par, axis=0)
-    label_logit = vp_label_logits(h_par, tokens, w_local, temperature, axis)
-    lp_edge = label_logit - jnp.take(lse, par)
-    lp_edge = jnp.where(parent >= 0, lp_edge, 0.0)
+    lp_edge, entropy = vp_tree_edge_logprobs(
+        hidden, w_local, tokens, parent, temperature, chunk_size, axis
+    )
     sum_lp = jnp.sum(w_logprob * lp_edge)
     sum_ent = jnp.sum(w_entropy * entropy)
     loss = sum_lp + sum_ent

@@ -452,3 +452,24 @@ def test_local_data_ranks_on_fake_mesh():
     assert local_data_ranks(mesh) == [0, 1]
     mesh2 = make_mesh(dp=4, tp=2)
     assert local_data_ranks(mesh2) == [0, 1, 2, 3]
+
+
+@pytest.mark.parametrize("dp,tp", [(2, 2), (4, 1)])
+def test_sharded_forward_matches_engine_forward(dp, tp):
+    """make_forward_step (inference logprobs at scale) == engine.forward
+    per sequence — the RL behavior-logprob recompute sharded over the mesh."""
+    from dynamictreeattn_tpu.parallel import extract_forward, make_forward_step
+
+    tries, _ = _tries(dp, seed=31)
+    mesh = make_mesh(dp=dp, tp=tp)
+    params = init_params(TINY, jax.random.key(2), dtype=jnp.float32)
+    fstep = make_forward_step(TINY, mesh, ECFG)
+    batch = stack_batches(tries, ECFG)
+    lp, ent = fstep(shard_params(params, mesh, TINY), batch.arrays)
+    engine = TreeEngine(TINY, ECFG)
+    got = extract_forward(batch, lp)  # one dict per data rank
+    for r, t in enumerate(tries):
+        ref = engine.forward(params, engine.prepare(t))
+        for k, v in ref.items():
+            np.testing.assert_allclose(got[r][k], v, rtol=2e-5, atol=2e-5)
+    assert np.isfinite(np.asarray(ent)).all()
