@@ -119,6 +119,7 @@ class Trainer:
             )
         self.params = None
         self.opt_state = None
+        self._fwd_fn = None
         self._ckpt = None
         if train_config.ckpt_dir:
             from dynamictreeattn_tpu.training.checkpoint import CheckpointManager
@@ -197,6 +198,12 @@ class Trainer:
     # ------------------------------------------------------------------ steps
     def partition(self, seqs, attachs, n_bins: int | None = None) -> list[TokenTrie]:
         """Split one rollout batch into per-device (or per-microbatch) tries."""
+        tries, _ = self.partition_with_ids(seqs, attachs, n_bins)
+        return tries
+
+    def partition_with_ids(self, seqs, attachs, n_bins: int | None = None):
+        """(tries, bins): bins[r][j] = original index of the sequence whose
+        _sequence_batch_id is j within rank r's trie."""
         dp = n_bins if n_bins is not None else self.mesh.shape["data"]
         if dp == 1:
             bins = [list(range(len(seqs)))]
@@ -206,13 +213,46 @@ class Trainer:
             bins = LB_by_DFS_and_TM(
                 seqs, self.time_model, dp, block_size=self.tc.lb_block_size
             )
-        tries = []
+        tries, out_bins = [], []
         for ids in bins:
             ids = ids or [int(np.argmin([len(s) for s in seqs]))]  # never empty
             tries.append(
                 TokenTrie([seqs[i] for i in ids], [attachs[i] for i in ids])
             )
-        return tries
+            out_bins.append(list(ids))
+        return tries, out_bins
+
+    def forward_logprobs(self, seqs, attachs) -> list:
+        """Behavior logprobs for a rollout batch, sharded over the mesh
+        (engine.forward at scale — the RL ratio denominators, reference:
+        tree_training_engine.py:516-553). Returns a list aligned with
+        `seqs`: fp32 arrays of length len(seq)-1."""
+        assert self.params is not None, "call init()/restore() first"
+        if self.tc.pp > 1:
+            raise ValueError("forward_logprobs does not support pp>1 yet")
+        if self._fwd_fn is None:
+            from dynamictreeattn_tpu.parallel import make_forward_step
+
+            self._fwd_fn = make_forward_step(self.mc, self.mesh, self.ec)
+        tries, bins = self.partition_with_ids(seqs, attachs)
+        batch = stack_batches(tries, self.ec, device=not self.tc.multihost)
+        arrays = batch.arrays
+        if self.tc.multihost:
+            from dynamictreeattn_tpu.parallel import batch_partition_specs
+            from dynamictreeattn_tpu.parallel.distributed import put_global
+
+            specs = batch_partition_specs()
+            arrays = put_global(arrays, self.mesh,
+                                {f: specs[f] for f in arrays})
+        from dynamictreeattn_tpu.parallel import extract_forward
+
+        lp, _ = self._fwd_fn(self.params, arrays)
+        per_rank = extract_forward(batch, lp)
+        out = [None] * len(seqs)
+        for r, ids in enumerate(bins):
+            for j, orig in enumerate(ids):
+                out[orig] = per_rank[r][j]
+        return out
 
     def train_step(self, seqs, attachs) -> dict:
         assert self.params is not None, "call init()/restore() first"

@@ -139,3 +139,29 @@ def test_trainer_fsdp_descends():
     seqs, attachs = next(iter(_batches(1)))
     hist = tr.fit([(seqs, attachs)] * 6)
     assert hist[-1]["loss"] < hist[0]["loss"]
+
+
+def test_trainer_forward_logprobs_matches_engine():
+    """Trainer.forward_logprobs (sharded inference) == single-device
+    engine.forward, mapped back to the input order through the binning."""
+    from dynamictreeattn_tpu.engine import TreeEngine
+    from dynamictreeattn_tpu.tries import TokenTrie
+
+    tc = TrainConfig(dp=2, tp=2, learning_rate=1e-3, param_dtype="fp32",
+                     lb_block_size=32)
+    tr = Trainer(TINY, ECFG, tc)
+    tr.init(seed=0)
+    seqs, attachs = next(iter(_batches(1)))
+    got = tr.forward_logprobs(seqs, attachs)
+
+    import jax, jax.numpy as jnp
+    from dynamictreeattn_tpu.models import init_params
+
+    params = jax.device_get(tr.params)
+    engine = TreeEngine(TINY, ECFG)
+    ref = engine.forward(
+        params, engine.prepare(TokenTrie(seqs, attachs))
+    )
+    assert len(got) == len(seqs)
+    for i in range(len(seqs)):
+        np.testing.assert_allclose(got[i], ref[i], rtol=2e-5, atol=2e-5)
