@@ -204,6 +204,21 @@ _BATCH_FIELDS = ("tokens", "depth", "parent", "last_desc", "w_logprob",
 _META_FIELDS = ("kv_ids", "kv_counts", "kv_types", "q_ids", "q_counts", "q_types")
 
 
+def _unpack_rank_batch(batch, ec: EngineConfig):
+    """This rank's batch fields + the attention fn both step builders use."""
+    fields = {f: batch[f][0] for f in _BATCH_FIELDS}
+    meta = tuple(batch[f][0] for f in _META_FIELDS)
+    last_desc = fields["last_desc"]
+    if ec.attn_backend == "reference":
+        attn_fn = lambda q, k, v: tree_attention_reference(q, k, v, last_desc)
+    else:
+        bs = BlockSizes(ec.block_q, ec.block_kv)
+        attn_fn = lambda q, k, v: tree_attention(
+            q, k, v, last_desc, *meta, block_sizes=bs, interpret=ec.interpret
+        )
+    return fields, meta, attn_fn
+
+
 def batch_partition_specs(sp: int = 1, sp_mode: str = "ulysses") -> dict:
     """PartitionSpec per batch-array field (what make_train_step shards by —
     also the layout multi-host data loading must produce)."""
@@ -593,6 +608,9 @@ def make_forward_step(
     model_config: Qwen3Config,
     mesh,
     engine_config: EngineConfig = EngineConfig(),
+    fsdp: bool = False,
+    fsdp_min_size: int = FSDP_MIN_SIZE,
+    ep: bool = False,
 ):
     """Sharded inference-mode per-edge logprobs — engine.forward at scale
     (the RL behavior-logprob recompute, reference:
@@ -601,35 +619,64 @@ def make_forward_step(
     Returns step(params, batch_arrays) -> (lp_edge [dp, n], entropy [dp, n])
     as global fp32 arrays; use StackedBatch.packeds[r].seq_path(...) to map
     rank r's rows back to per-sequence logprob vectors (or
-    `extract_forward`)."""
+    `extract_forward`). fsdp/ep must match the param layout the step will be
+    fed (per-layer all-gather / data-axis experts, exactly like
+    make_train_step)."""
     mc, ec = model_config, engine_config
     tp = mesh.shape["model"]
+    dp = mesh.shape["data"]
     tp_param_shard_info(mc, tp)
-    pspecs = param_specs(mc)
+    if mesh.shape.get("seq", 1) > 1:
+        raise ValueError(
+            "make_forward_step does not shard over 'seq' yet — a seq-axis "
+            "mesh would silently run the full forward on every seq rank"
+        )
+    ep_size = dp if (ep and mc.is_moe) else 1
+    fsdp = fsdp and dp > 1
+    if fsdp:
+        dims = fsdp_dims(mc, dp, fsdp_min_size, ep_size)
+        pspecs = fsdp_param_specs(mc, dp, fsdp_min_size, ep_size)
+    else:
+        dims = None
+        pspecs = param_specs(mc, ep_size)
     bspec = batch_partition_specs()
 
     def local_forward(params, batch):
-        tokens = batch["tokens"][0]
-        depth = batch["depth"][0]
-        parent = batch["parent"][0]
-        last_desc = batch["last_desc"][0]
-        valid = batch["valid"][0]
-        meta = tuple(batch[f][0] for f in _META_FIELDS)
-        if ec.attn_backend == "reference":
-            attn_fn = lambda q, k, v: tree_attention_reference(q, k, v, last_desc)
+        fields, meta, attn_fn = _unpack_rank_batch(batch, ec)
+        if fsdp:
+            layer_dims = dims["layers"]
+
+            def unshard_layer(lp):
+                return jax.tree.map(
+                    lambda a, d: a if d < 0 else jax.lax.all_gather(
+                        a, "data", axis=d - 1, tiled=True
+                    ),
+                    lp, layer_dims,
+                )
+
+            params = dict(params)
+            if dims["embed"] >= 0:
+                params["embed"] = jax.lax.all_gather(
+                    params["embed"], "data", axis=dims["embed"], tiled=True
+                )
+            if "lm_head" in params and dims["lm_head"] >= 0:
+                params["lm_head"] = jax.lax.all_gather(
+                    params["lm_head"], "data", axis=dims["lm_head"], tiled=True
+                )
         else:
-            bs = BlockSizes(ec.block_q, ec.block_kv)
-            attn_fn = lambda q, k, v: tree_attention(
-                q, k, v, last_desc, *meta, block_sizes=bs, interpret=ec.interpret
-            )
+            unshard_layer = None
         h, _ = forward_hidden_tp(
-            params, mc, tokens, depth, attn_fn, tp=tp, remat=ec.remat,
+            params, mc, fields["tokens"], fields["depth"], attn_fn, tp=tp,
+            remat=ec.remat,
             remat_policy=ec.remat_policy, remat_segments=ec.remat_segments,
-            valid=valid,
+            unshard_fn=unshard_layer,
+            ep=ep_size,
+            valid=fields["valid"],
         )
         w_local = params["embed"].T if mc.tie_word_embeddings else params["lm_head"]
         lp, ent = vp_tree_edge_logprobs(
-            h, w_local, tokens, parent, ec.temperature, ec.loss_chunk
+            h, w_local, fields["tokens"], fields["parent"],
+            ec.temperature, ec.loss_chunk,
         )
         return lp[None], ent[None]
 

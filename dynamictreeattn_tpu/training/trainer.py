@@ -228,12 +228,16 @@ class Trainer:
         tree_training_engine.py:516-553). Returns a list aligned with
         `seqs`: fp32 arrays of length len(seq)-1."""
         assert self.params is not None, "call init()/restore() first"
-        if self.tc.pp > 1:
-            raise ValueError("forward_logprobs does not support pp>1 yet")
+        if self.tc.pp > 1 or self.tc.sp > 1:
+            raise ValueError("forward_logprobs does not support pp/sp>1 yet")
         if self._fwd_fn is None:
             from dynamictreeattn_tpu.parallel import make_forward_step
 
-            self._fwd_fn = make_forward_step(self.mc, self.mesh, self.ec)
+            self._fwd_fn = make_forward_step(
+                self.mc, self.mesh, self.ec,
+                fsdp=self.tc.fsdp, fsdp_min_size=self.tc.fsdp_min_size,
+                ep=self.tc.ep,
+            )
         tries, bins = self.partition_with_ids(seqs, attachs)
         batch = stack_batches(tries, self.ec, device=not self.tc.multihost)
         arrays = batch.arrays
@@ -247,6 +251,11 @@ class Trainer:
         from dynamictreeattn_tpu.parallel import extract_forward
 
         lp, _ = self._fwd_fn(self.params, arrays)
+        if self.tc.multihost:
+            # lp spans non-addressable devices; gather it everywhere first
+            from jax.experimental import multihost_utils
+
+            lp = multihost_utils.process_allgather(lp, tiled=True)
         per_rank = extract_forward(batch, lp)
         out = [None] * len(seqs)
         for r, ids in enumerate(bins):

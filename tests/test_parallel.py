@@ -473,3 +473,25 @@ def test_sharded_forward_matches_engine_forward(dp, tp):
         for k, v in ref.items():
             np.testing.assert_allclose(got[r][k], v, rtol=2e-5, atol=2e-5)
     assert np.isfinite(np.asarray(ent)).all()
+
+
+def test_sharded_forward_with_fsdp_params():
+    """make_forward_step(fsdp=True) consumes ZeRO-sharded params directly
+    (per-layer all-gather, no full-model replication) and matches the
+    replicated-layout forward."""
+    from dynamictreeattn_tpu.parallel import extract_forward, make_forward_step
+
+    tries, _ = _tries(2, seed=37)
+    mesh = make_mesh(dp=2, tp=2)
+    params = init_params(TINY, jax.random.key(3), dtype=jnp.float32)
+    batch = stack_batches(tries, ECFG)
+
+    base = make_forward_step(TINY, mesh, ECFG)
+    lp0, _ = base(shard_params(params, mesh, TINY), batch.arrays)
+
+    fstep = make_forward_step(TINY, mesh, ECFG, fsdp=True, fsdp_min_size=1)
+    fshard = shard_params(params, mesh, TINY, fsdp=True, fsdp_min_size=1)
+    lp1, _ = fstep(fshard, batch.arrays)
+    np.testing.assert_allclose(
+        np.asarray(lp1), np.asarray(lp0), rtol=1e-5, atol=1e-6
+    )

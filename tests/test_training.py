@@ -154,8 +154,7 @@ def test_trainer_forward_logprobs_matches_engine():
     seqs, attachs = next(iter(_batches(1)))
     got = tr.forward_logprobs(seqs, attachs)
 
-    import jax, jax.numpy as jnp
-    from dynamictreeattn_tpu.models import init_params
+    import jax
 
     params = jax.device_get(tr.params)
     engine = TreeEngine(TINY, ECFG)
