@@ -241,6 +241,7 @@ def batch_partition_specs(sp: int = 1, sp_mode: str = "ulysses") -> dict:
 def stack_batches(
     tries_or_packed: list, cfg: EngineConfig, sp: int = 1,
     sp_mode: str = "ulysses", device: bool = True,
+    with_paths: bool = False,
 ) -> StackedBatch:
     """Flatten+pad each rank's trie to a COMMON bucket and common metadata slot
     widths, then stack on the leading "data" axis.
@@ -303,6 +304,21 @@ def stack_batches(
                 w, edge = widths[f]
                 vals = [_pad_slots(v, w, edge) for v in vals]
             arrays["ring_" + f] = np.stack(vals).astype(np.int32)
+    if with_paths:
+        # per-sequence packed paths for custom (nonlinear) per-sequence
+        # losses under sharding (the reference loss_fn contract at scale)
+        S = max(len(p.seq_batch_ids) for p in packeds)
+        lmax = max((int(p.seq_lens.max()) if len(p.seq_lens) else 1)
+                   for p in packeds)
+        paths = np.full((len(packeds), S, lmax), -1, np.int32)
+        lens = np.zeros((len(packeds), S), np.int32)
+        for r, p in enumerate(packeds):
+            for i in range(len(p.seq_batch_ids)):
+                path = p.seq_path(i)
+                paths[r, i, : len(path)] = path
+                lens[r, i] = len(path)
+        arrays["seq_paths"] = paths
+        arrays["seq_lens"] = lens
     # device=False keeps host numpy (multihost placement re-shards via
     # make_array_from_callback — uploading here would just round-trip)
     if device:
@@ -379,6 +395,8 @@ def make_train_step(
     fsdp_min_size: int = FSDP_MIN_SIZE,
     ep: bool = False,
     sp_mode: str = "ulysses",
+    custom_loss=None,
+    extras_spec: dict | None = None,
 ):
     """Build the jitted sharded step.
 
@@ -400,6 +418,14 @@ def make_train_step(
     axis: "ulysses" (all-to-all to kv-head sharding; needs sp ≤ kv_heads/tp)
     or "ring" (K/V chunks rotate over "seq" through the ring tree-attention
     op — any sp dividing the padded length; ops/tree_attention_ring.py).
+
+    `custom_loss(lp_rows, ent_rows, extras, length) -> scalar` replaces the
+    linear weighted loss with the reference's pluggable per-sequence
+    contract AT SCALE (clipped-ratio GRPO etc., reference: run.py:149-152):
+    batches must come from `stack_batches(with_paths=True)` and carry one
+    `x_<name>` array of shape [dp, S, ...] per `extras_spec` entry
+    ({name: ndim-after-(dp,S)}). Padded sequence rows (length 0) contribute
+    exactly 0 regardless of the loss function.
     """
     mc, ec = model_config, engine_config
     tp = mesh.shape["model"]
@@ -431,6 +457,14 @@ def make_train_step(
         dims = None
         pspecs = param_specs(mc, ep_size)
     bspec = batch_partition_specs(sp, sp_mode)
+    if custom_loss is not None:
+        if sp > 1:
+            raise ValueError("custom_loss + sequence parallelism not "
+                             "supported yet")
+        bspec["seq_paths"] = P("data", None, None)
+        bspec["seq_lens"] = P("data", None)
+        for name, nd in (extras_spec or {}).items():
+            bspec["x_" + name] = P("data", None, *([None] * nd))
 
     def local_loss_and_grad(params, batch):
         tokens = batch["tokens"][0]
@@ -520,7 +554,31 @@ def make_train_step(
                 valid=val_in,
             )
             w_local = p["embed"].T if mc.tie_word_embeddings else p["lm_head"]
-            if sp > 1:
+            if custom_loss is not None:
+                lp_edge, entropy = vp_tree_edge_logprobs(
+                    h, w_local, tokens, parent, ec.temperature, ec.loss_chunk
+                )
+                paths = batch["seq_paths"][0]
+                lengths = batch["seq_lens"][0]
+                extras = {k[2:]: batch[k][0] for k in batch
+                          if k.startswith("x_")}
+                safe = jnp.maximum(paths, 0)
+                lp_rows = jnp.take(lp_edge, safe[:, 1:], axis=0)
+                ent_rows = jnp.take(entropy, safe, axis=0)
+                per_seq = jax.vmap(custom_loss)(
+                    lp_rows, ent_rows, extras, lengths
+                )
+                live = (lengths > 0).astype(per_seq.dtype)
+                loss = jnp.sum(per_seq * live)
+                m_lp = (jnp.arange(lp_rows.shape[1])[None, :]
+                        < (lengths - 1)[:, None])
+                m_en = (jnp.arange(ent_rows.shape[1])[None, :]
+                        < lengths[:, None])
+                aux = {
+                    "sum_logprob": jnp.sum(lp_rows * m_lp),
+                    "sum_entropy": jnp.sum(ent_rows * m_en),
+                }
+            elif sp > 1:
                 loss, aux = vp_tree_loss_edges(
                     h, w_local, e_par, e_tok, e_w, w_ent_loc,
                     ec.temperature, ec.loss_chunk,

@@ -495,3 +495,61 @@ def test_sharded_forward_with_fsdp_params():
     np.testing.assert_allclose(
         np.asarray(lp1), np.asarray(lp0), rtol=1e-5, atol=1e-6
     )
+
+
+def test_sharded_custom_loss_matches_engine(dp=2, tp=2):
+    """Clipped-ratio (GRPO/PPO) per-sequence loss AT SCALE: the sharded step
+    with custom_loss == summed single-device engine.loss_and_grad_custom."""
+    tries, _ = _tries(dp, seed=41)
+    mesh = make_mesh(dp=dp, tp=tp)
+    params = init_params(TINY, jax.random.key(5), dtype=jnp.float32)
+    batch = stack_batches(tries, ECFG, with_paths=True)
+    S = batch.arrays["seq_lens"].shape[1]
+    Lb = batch.arrays["seq_paths"].shape[2]
+
+    rng = np.random.default_rng(9)
+    beh_master = rng.normal(size=(dp, S, Lb - 1)).astype(np.float32)
+    adv_master = rng.normal(size=(dp, S)).astype(np.float32)
+
+    def ppo_loss(lp, ent, extras, length):
+        m = (jnp.arange(lp.shape[0]) < length - 1).astype(jnp.float32)
+        ratio = jnp.exp(jnp.where(m > 0, lp - extras["beh"][: lp.shape[0]], 0.0))
+        obj = jnp.minimum(ratio * extras["adv"],
+                          jnp.clip(ratio, 0.8, 1.2) * extras["adv"])
+        return -jnp.sum(obj * m) / jnp.maximum(length - 1, 1)
+
+    step = make_train_step(
+        TINY, mesh, ECFG, custom_loss=ppo_loss,
+        extras_spec={"beh": 1, "adv": 0},
+    )
+    arrays = dict(batch.arrays)
+    arrays["x_beh"] = jnp.asarray(beh_master)
+    arrays["x_adv"] = jnp.asarray(adv_master)
+    loss, grads, aux = step(shard_params(params, mesh, TINY), arrays)
+
+    engine = TreeEngine(TINY, ECFG)
+    total_loss, total_grads = 0.0, None
+    for r, t in enumerate(tries):
+        b = engine.prepare(t)
+        nseq = len(b.packed.seq_batch_ids)
+        lmax = int(b.packed.seq_lens.max())
+        extras = {
+            "beh": jnp.asarray(beh_master[r, :nseq, : lmax - 1]),
+            "adv": jnp.asarray(adv_master[r, :nseq]),
+        }
+
+        def eng_loss(lp, ent, extras, length):
+            m = (jnp.arange(lp.shape[0]) < length - 1).astype(jnp.float32)
+            ratio = jnp.exp(jnp.where(m > 0, lp - extras["beh"], 0.0))
+            obj = jnp.minimum(ratio * extras["adv"],
+                              jnp.clip(ratio, 0.8, 1.2) * extras["adv"])
+            return -jnp.sum(obj * m) / jnp.maximum(length - 1, 1)
+
+        l, g = engine.loss_and_grad_custom(params, b, eng_loss, extras)
+        total_loss += float(l)
+        total_grads = g if total_grads is None else jax.tree.map(
+            jnp.add, total_grads, g
+        )
+    np.testing.assert_allclose(float(loss), total_loss, rtol=1e-4)
+    rows = compare_grads(total_grads, jax.device_get(grads))
+    assert rows[0][1] < 1e-3, rows[0]
