@@ -68,7 +68,14 @@ class Trainer:
         engine_config: EngineConfig = EngineConfig(),
         train_config: TrainConfig = TrainConfig(),
         mesh=None,
+        custom_loss=None,
+        extras_spec: dict | None = None,
     ):
+        """`custom_loss(lp_rows, ent_rows, extras, length)` swaps the linear
+        weighted loss for the reference's pluggable per-sequence contract at
+        scale (clipped-ratio GRPO); `extras_spec` maps each extras name to
+        its per-sequence ndim (0 = scalar, 1 = per-edge vector). Pass the
+        matching per-sequence values to train_step(..., extras=...)."""
         import optax
 
         self.mc = model_config
@@ -110,13 +117,21 @@ class Trainer:
                 schedule=train_config.pp_schedule,
             )
         else:
+            if custom_loss is not None and (
+                train_config.sp > 1 or train_config.pp > 1
+            ):
+                raise ValueError("custom_loss requires sp == pp == 1")
             self._step_fn = make_train_step(
                 self.mc, self.mesh, self.ec, optimizer=self.optimizer,
                 fsdp=train_config.fsdp,
                 fsdp_min_size=train_config.fsdp_min_size,
                 ep=train_config.ep,
                 sp_mode=train_config.sp_mode,
+                custom_loss=custom_loss,
+                extras_spec=extras_spec,
             )
+        self.custom_loss = custom_loss
+        self.extras_spec = extras_spec or {}
         self.params = None
         self.opt_state = None
         self._fwd_fn = None
@@ -263,8 +278,36 @@ class Trainer:
                 out[orig] = per_rank[r][j]
         return out
 
-    def train_step(self, seqs, attachs) -> dict:
+    def _extras_arrays(self, batch, bins, extras: dict) -> dict:
+        """Per-sequence extras (aligned with the input order) → x_<name>
+        arrays [dp, S, ...] in each rank's _sequence_batch_id order."""
+        import jax.numpy as jnp
+
+        S = int(np.asarray(batch.arrays["seq_lens"]).shape[1])
+        width = int(np.asarray(batch.arrays["seq_paths"]).shape[2]) - 1
+        out = {}
+        for name, nd in self.extras_spec.items():
+            vals = extras[name]
+            if nd == 0:
+                a = np.zeros((len(bins), S), np.float32)
+                for r, ids in enumerate(bins):
+                    for j, orig in enumerate(ids):
+                        a[r, j] = float(vals[orig])
+            elif nd == 1:
+                a = np.zeros((len(bins), S, width), np.float32)
+                for r, ids in enumerate(bins):
+                    for j, orig in enumerate(ids):
+                        v = np.asarray(vals[orig], np.float32)
+                        a[r, j, : len(v)] = v[:width]
+            else:
+                raise ValueError(f"extras ndim {nd} not supported")
+            out["x_" + name] = a if self.tc.multihost else jnp.asarray(a)
+        return out
+
+    def train_step(self, seqs, attachs, extras: dict | None = None) -> dict:
         assert self.params is not None, "call init()/restore() first"
+        if self.custom_loss is not None and extras is None:
+            extras = {}
         if self.tc.pp > 1:
             from dynamictreeattn_tpu.parallel import stack_microbatches
 
@@ -274,12 +317,17 @@ class Trainer:
             rows = [flat[r * M:(r + 1) * M] for r in range(dp)]
             batch = stack_microbatches(rows, self.ec)
         else:
-            tries = self.partition(seqs, attachs)
+            tries, bins = self.partition_with_ids(seqs, attachs)
             batch = stack_batches(
                 tries, self.ec, sp=self.mesh.shape.get("seq", 1),
                 sp_mode=self.tc.sp_mode,
                 device=not self.tc.multihost,
+                with_paths=self.custom_loss is not None,
             )
+            if self.custom_loss is not None:
+                batch.arrays.update(
+                    self._extras_arrays(batch, bins, extras)
+                )
         arrays = batch.arrays
         if self.tc.multihost:
             from dynamictreeattn_tpu.parallel import batch_partition_specs

@@ -164,3 +164,32 @@ def test_trainer_forward_logprobs_matches_engine():
     assert len(got) == len(seqs)
     for i in range(len(seqs)):
         np.testing.assert_allclose(got[i], ref[i], rtol=2e-5, atol=2e-5)
+
+
+def test_trainer_custom_grpo_loss_at_scale():
+    """Trainer with a clipped-ratio per-sequence loss on a dp×tp mesh:
+    the full production GRPO loop shape (behavior logprobs from
+    forward_logprobs, advantages as extras) descends."""
+    import jax.numpy as jnp
+
+    def grpo_loss(lp, ent, extras, length):
+        m = (jnp.arange(lp.shape[0]) < length - 1).astype(jnp.float32)
+        ratio = jnp.exp(jnp.where(m > 0, lp - extras["beh"][: lp.shape[0]], 0.0))
+        obj = jnp.minimum(ratio * extras["adv"],
+                          jnp.clip(ratio, 0.8, 1.2) * extras["adv"])
+        return -jnp.sum(obj * m) / jnp.maximum(length - 1, 1)
+
+    tc = TrainConfig(dp=2, tp=2, learning_rate=1e-3, param_dtype="fp32",
+                     lb_block_size=32)
+    tr = Trainer(TINY, ECFG, tc, custom_loss=grpo_loss,
+                 extras_spec={"beh": 1, "adv": 0})
+    tr.init(seed=0)
+    seqs, attachs = next(iter(_batches(1)))
+    beh = tr.forward_logprobs(seqs, attachs)
+    rng = np.random.default_rng(3)
+    adv = rng.normal(size=len(seqs)).astype(np.float32)
+    extras = {"beh": beh, "adv": adv}
+    losses = [tr.train_step(seqs, attachs, extras=extras)["loss"]
+              for _ in range(5)]
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
