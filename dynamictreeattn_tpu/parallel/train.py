@@ -204,6 +204,37 @@ _BATCH_FIELDS = ("tokens", "depth", "parent", "last_desc", "w_logprob",
 _META_FIELDS = ("kv_ids", "kv_counts", "kv_types", "q_ids", "q_counts", "q_types")
 
 
+def _fsdp_unshard_layer(dims):
+    """Per-layer ZeRO all-gather for use inside the remat'd layer scan
+    (per-layer leaves lost the stacked L dim → gather axis = d − 1)."""
+    layer_dims = dims["layers"]
+
+    def unshard_layer(lp):
+        return jax.tree.map(
+            lambda a, d: a if d < 0 else jax.lax.all_gather(
+                a, "data", axis=d - 1, tiled=True
+            ),
+            lp, layer_dims,
+        )
+
+    return unshard_layer
+
+
+def _fsdp_gather_top(params, dims):
+    """Gather the (big) top-level ZeRO leaves once per step — the transpose
+    is a psum_scatter of the grad, the ZeRO reduce-scatter."""
+    params = dict(params)
+    if dims["embed"] >= 0:
+        params["embed"] = jax.lax.all_gather(
+            params["embed"], "data", axis=dims["embed"], tiled=True
+        )
+    if "lm_head" in params and dims["lm_head"] >= 0:
+        params["lm_head"] = jax.lax.all_gather(
+            params["lm_head"], "data", axis=dims["lm_head"], tiled=True
+        )
+    return params
+
+
 def _unpack_rank_batch(batch, ec: EngineConfig):
     """This rank's batch fields + the attention fn both step builders use."""
     fields = {f: batch[f][0] for f in _BATCH_FIELDS}
@@ -467,13 +498,14 @@ def make_train_step(
             bspec["x_" + name] = P("data", None, *([None] * nd))
 
     def local_loss_and_grad(params, batch):
-        tokens = batch["tokens"][0]
-        depth = batch["depth"][0]
-        parent = batch["parent"][0]
-        last_desc = batch["last_desc"][0]
-        w_lp = batch["w_logprob"][0]
-        w_ent = batch["w_entropy"][0]
-        meta = tuple(batch[f][0] for f in _META_FIELDS)
+        fields, meta, attn_fn = _unpack_rank_batch(batch, ec)
+        tokens = fields["tokens"]
+        depth = fields["depth"]
+        parent = fields["parent"]
+        last_desc = fields["last_desc"]
+        w_lp = fields["w_logprob"]
+        w_ent = fields["w_entropy"]
+        valid = fields["valid"]
 
         if sp > 1 and sp_mode == "ring":
             from dynamictreeattn_tpu.ops.tree_attention_ring import (
@@ -494,29 +526,8 @@ def make_train_step(
                     q, k, v, last_desc, *rmeta, sp=sp, axis="seq",
                     block_sizes=bs, interpret=ec.interpret,
                 )
-        elif ec.attn_backend == "reference":
-            attn_fn = lambda q, k, v: tree_attention_reference(q, k, v, last_desc)
-        else:
-            bs = BlockSizes(ec.block_q, ec.block_kv)
-            attn_fn = lambda q, k, v: tree_attention(
-                q, k, v, last_desc, *meta, block_sizes=bs, interpret=ec.interpret
-            )
 
-        if fsdp:
-            layer_dims = dims["layers"]
-
-            def unshard_layer(lp):
-                # per-layer leaf lost the stacked L dim → gather axis = d - 1
-                return jax.tree.map(
-                    lambda a, d: a if d < 0 else jax.lax.all_gather(
-                        a, "data", axis=d - 1, tiled=True
-                    ),
-                    lp, layer_dims,
-                )
-        else:
-            unshard_layer = None
-
-        valid = batch["valid"][0]
+        unshard_layer = _fsdp_unshard_layer(dims) if fsdp else None
         if sp > 1:
             r = jax.lax.axis_index("seq")
             n_loc = tokens.shape[0] // sp
@@ -532,17 +543,7 @@ def make_train_step(
 
         def loss_fn(p):
             if fsdp:
-                # embed / lm_head gathered once per step (their transpose is a
-                # psum_scatter of the grad — the ZeRO reduce-scatter)
-                p = dict(p)
-                if dims["embed"] >= 0:
-                    p["embed"] = jax.lax.all_gather(
-                        p["embed"], "data", axis=dims["embed"], tiled=True
-                    )
-                if "lm_head" in p and dims["lm_head"] >= 0:
-                    p["lm_head"] = jax.lax.all_gather(
-                        p["lm_head"], "data", axis=dims["lm_head"], tiled=True
-                    )
+                p = _fsdp_gather_top(p, dims)
             h, faux = forward_hidden_tp(
                 p, mc, tok_in, dep_in, attn_fn, tp=tp, remat=ec.remat,
                 remat_policy=ec.remat_policy,
@@ -702,25 +703,8 @@ def make_forward_step(
     def local_forward(params, batch):
         fields, meta, attn_fn = _unpack_rank_batch(batch, ec)
         if fsdp:
-            layer_dims = dims["layers"]
-
-            def unshard_layer(lp):
-                return jax.tree.map(
-                    lambda a, d: a if d < 0 else jax.lax.all_gather(
-                        a, "data", axis=d - 1, tiled=True
-                    ),
-                    lp, layer_dims,
-                )
-
-            params = dict(params)
-            if dims["embed"] >= 0:
-                params["embed"] = jax.lax.all_gather(
-                    params["embed"], "data", axis=dims["embed"], tiled=True
-                )
-            if "lm_head" in params and dims["lm_head"] >= 0:
-                params["lm_head"] = jax.lax.all_gather(
-                    params["lm_head"], "data", axis=dims["lm_head"], tiled=True
-                )
+            unshard_layer = _fsdp_unshard_layer(dims)
+            params = _fsdp_gather_top(params, dims)
         else:
             unshard_layer = None
         h, _ = forward_hidden_tp(
