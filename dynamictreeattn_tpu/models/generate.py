@@ -41,11 +41,16 @@ def init_cache(config: Qwen3Config, batch: int, max_len: int, dtype=jnp.bfloat16
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
-def _layer_step(x, lp, cos, sin, ck, cv, start, config: Qwen3Config):
+def _layer_step(x, lp, cos, sin, ck, cv, start, config: Qwen3Config,
+                valid=None):
     """One layer over T new tokens of ONE sequence against its cache.
 
     x [T, d]; ck/cv [Hkv, Lmax, dh]; start = cache slot of the first new
-    token. Mirrors qwen3._layer exactly (same norms/rope/GQA/MoE math)."""
+    token. Mirrors qwen3._layer exactly (same norms/rope/GQA/MoE math).
+    `valid` ([T] 0/1, optional) marks real tokens — ragged prefill passes
+    positions < prompt_len so padding rows neither consume MoE expert
+    capacity nor skew router statistics (same contract as moe_route's
+    valid in the training path)."""
     c = config
     T, d = x.shape
     dh = c.head_dim
@@ -94,7 +99,7 @@ def _layer_step(x, lp, cos, sin, ck, cv, start, config: Qwen3Config):
 
     h = rms_norm(x, lp["ln2"], eps)
     if c.is_moe:
-        y, _lb = _moe_block(h, lp, c)
+        y, _lb = _moe_block(h, lp, c, valid)
         x = x + y.astype(x.dtype)
         return x, ck, cv
     act = jax.nn.silu((h @ lp["gate"]).astype(jnp.float32)).astype(h.dtype)
@@ -103,9 +108,11 @@ def _layer_step(x, lp, cos, sin, ck, cv, start, config: Qwen3Config):
 
 
 def forward_step(params, config: Qwen3Config, tokens, positions, cache_k,
-                 cache_v, start):
+                 cache_v, start, valid=None):
     """T tokens of one sequence through all layers. tokens/positions [T];
-    cache_k/v [L, Hkv, Lmax, dh]; returns (logits [T, V] fp32, ck, cv)."""
+    cache_k/v [L, Hkv, Lmax, dh]; returns (logits [T, V] fp32, ck, cv).
+    `valid` ([T] 0/1, optional): real-token mask for ragged prefill (MoE
+    routing ignores padding)."""
     c = config
     x = jnp.take(params["embed"], tokens, axis=0)
     cos, sin = rope_tables(positions, c.head_dim, c.rope_theta,
@@ -113,7 +120,7 @@ def forward_step(params, config: Qwen3Config, tokens, positions, cache_k,
 
     def scan_fn(x, inp):
         lp, ck, cv = inp
-        x, ck, cv = _layer_step(x, lp, cos, sin, ck, cv, start, c)
+        x, ck, cv = _layer_step(x, lp, cos, sin, ck, cv, start, c, valid)
         return x, (ck, cv)
 
     x, (cks, cvs) = jax.lax.scan(
@@ -141,16 +148,21 @@ def _generate_jit(params, config, prompts, prompt_lens, key, max_new,
     cache = init_cache(c, B, Lp + max_new, dtype)
 
     step_b = jax.vmap(
-        lambda tok, pos, ck, cv, st: forward_step(params, c, tok, pos, ck, cv, st),
-        in_axes=(0, 0, 1, 1, 0), out_axes=(0, 1, 1),
+        lambda tok, pos, ck, cv, st, vl: forward_step(
+            params, c, tok, pos, ck, cv, st, vl
+        ),
+        in_axes=(0, 0, 1, 1, 0, 0), out_axes=(0, 1, 1),
     )
 
     # ---- prefill: all prompt rows at once (padding rows write garbage cache
     # slots past each row's length; decode overwrites them before any
-    # attention ever reads them)
+    # attention ever reads them). The valid mask keeps those padding tokens
+    # out of MoE expert capacity / router statistics (ADVICE r1)
     pos = jnp.broadcast_to(jnp.arange(Lp)[None, :], (B, Lp))
+    pre_valid = (pos < prompt_lens[:, None]).astype(jnp.int32)
     logits, ck, cv = step_b(
-        prompts, pos, cache["k"], cache["v"], jnp.zeros((B,), jnp.int32)
+        prompts, pos, cache["k"], cache["v"], jnp.zeros((B,), jnp.int32),
+        pre_valid,
     )
     last = jnp.take_along_axis(
         logits, (prompt_lens - 1)[:, None, None], axis=1
@@ -170,7 +182,10 @@ def _generate_jit(params, config, prompts, prompt_lens, key, max_new,
         # carry token sits at position prompt_lens + t (t = 0 for tok0)
         tok, done, ck, cv, key = carry
         pos_t = (prompt_lens + t)[:, None]
-        logits, ck, cv = step_b(tok[:, None], pos_t, ck, cv, prompt_lens + t)
+        logits, ck, cv = step_b(
+            tok[:, None], pos_t, ck, cv, prompt_lens + t,
+            jnp.ones((B, 1), jnp.int32),
+        )
         key, kt = jax.random.split(key)
         nxt = sample(logits[:, -1], kt)
         if use_eos:

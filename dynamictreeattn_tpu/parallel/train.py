@@ -250,9 +250,17 @@ def _unpack_rank_batch(batch, ec: EngineConfig):
     return fields, meta, attn_fn
 
 
-def batch_partition_specs(sp: int = 1, sp_mode: str = "ulysses") -> dict:
+def batch_partition_specs(
+    sp: int = 1, sp_mode: str = "ulysses",
+    extras_spec: dict | None = None,
+) -> dict:
     """PartitionSpec per batch-array field (what make_train_step shards by —
-    also the layout multi-host data loading must produce)."""
+    also the layout multi-host data loading must produce).
+
+    `extras_spec` ({name: per-sequence ndim}) adds the custom-loss fields:
+    seq_paths/seq_lens (stack_batches(with_paths=True)) plus one
+    x_<name> per entry — pass the Trainer's extras_spec so multihost
+    put_global placement covers every array the step consumes."""
     bspec = {f: P("data", None) for f in _BATCH_FIELDS}
     bspec["kv_counts"] = bspec["q_counts"] = P("data", None)
     for f in ("kv_ids", "kv_types", "q_ids", "q_types"):
@@ -266,6 +274,11 @@ def batch_partition_specs(sp: int = 1, sp_mode: str = "ulysses") -> dict:
         bspec["ring_kv_counts"] = bspec["ring_q_counts"] = P(
             "data", None, None, None
         )
+    if extras_spec is not None:
+        bspec["seq_paths"] = P("data", None, None)
+        bspec["seq_lens"] = P("data", None)
+        for name, nd in extras_spec.items():
+            bspec["x_" + name] = P("data", None, *([None] * nd))
     return bspec
 
 
@@ -487,15 +500,13 @@ def make_train_step(
     else:
         dims = None
         pspecs = param_specs(mc, ep_size)
-    bspec = batch_partition_specs(sp, sp_mode)
-    if custom_loss is not None:
-        if sp > 1:
-            raise ValueError("custom_loss + sequence parallelism not "
-                             "supported yet")
-        bspec["seq_paths"] = P("data", None, None)
-        bspec["seq_lens"] = P("data", None)
-        for name, nd in (extras_spec or {}).items():
-            bspec["x_" + name] = P("data", None, *([None] * nd))
+    if custom_loss is not None and sp > 1:
+        raise ValueError("custom_loss + sequence parallelism not "
+                         "supported yet")
+    bspec = batch_partition_specs(
+        sp, sp_mode,
+        extras_spec=(extras_spec or {}) if custom_loss is not None else None,
+    )
 
     def local_loss_and_grad(params, batch):
         fields, meta, attn_fn = _unpack_rank_batch(batch, ec)

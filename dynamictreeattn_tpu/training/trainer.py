@@ -182,9 +182,18 @@ class Trainer:
             opt_state = multihost_utils.process_allgather(
                 self.opt_state, tiled=True
             )
-        else:
-            params = jax.device_get(self.params)
-            opt_state = jax.device_get(self.opt_state)
+            # only process 0 writes: on shared storage (GCS/NFS, the norm on
+            # pods) concurrent identical writes race and can corrupt the
+            # checkpoint; restore() re-reads per host anyway
+            if jax.process_index() == 0:
+                self._ckpt.save(
+                    self.step_idx, params, opt_state,
+                    extra={"step": self.step_idx, **(extra or {})},
+                )
+            multihost_utils.sync_global_devices("dta_ckpt_save")
+            return
+        params = jax.device_get(self.params)
+        opt_state = jax.device_get(self.opt_state)
         self._ckpt.save(
             self.step_idx, params, opt_state,
             extra={"step": self.step_idx, **(extra or {})},
@@ -334,7 +343,9 @@ class Trainer:
             from dynamictreeattn_tpu.parallel.distributed import put_global
 
             specs = batch_partition_specs(
-                self.mesh.shape.get("seq", 1), self.tc.sp_mode
+                self.mesh.shape.get("seq", 1), self.tc.sp_mode,
+                extras_spec=(self.extras_spec if self.custom_loss is not None
+                             else None),
             )
             arrays = put_global(
                 arrays, self.mesh, {f: specs[f] for f in arrays}

@@ -92,3 +92,28 @@ h1 = tr.train_step(seqs, attachs)
 h2 = tr.train_step(seqs, attachs)
 print(f"TRAINER proc={jax.process_index()} l1={h1['loss']:.6f} "
       f"l2={h2['loss']:.6f} descend={h2['loss'] < h1['loss']}", flush=True)
+
+# ---- third leg: custom per-sequence loss UNDER multihost (regression for
+# the r1 KeyError: batch_partition_specs must cover seq_paths/seq_lens/x_*)
+def _clip_loss(lp, ent, extras, length):
+    m = (jnp.arange(lp.shape[0]) < length - 1).astype(jnp.float32)
+    ratio = jnp.exp(lp - extras["behavior_lp"][: lp.shape[0]])
+    adv = extras["adv"]
+    clipped = jnp.minimum(ratio * adv, jnp.clip(ratio, 0.8, 1.2) * adv)
+    return -jnp.sum(clipped * m) / jnp.maximum(length - 1, 1)
+
+
+tc_c = TrainConfig(dp=4, tp=2, learning_rate=1e-3, param_dtype="fp32",
+                   lb_block_size=32, multihost=True)
+tr_c = Trainer(TINY, ECFG, tc_c, mesh=make_mesh(dp=4, tp=2),
+               custom_loss=_clip_loss,
+               extras_spec={"behavior_lp": 1, "adv": 0})
+tr_c.init(seed=0)
+rng_e = np.random.default_rng(3)
+extras = {
+    "behavior_lp": [rng_e.normal(size=len(s) - 1).astype(np.float32)
+                    for s in seqs],
+    "adv": rng_e.normal(size=len(seqs)).astype(np.float32),
+}
+c1 = tr_c.train_step(seqs, attachs, extras=extras)
+print(f"CUSTOM proc={jax.process_index()} loss={c1['loss']:.6f}", flush=True)

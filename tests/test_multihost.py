@@ -42,11 +42,17 @@ def test_two_process_train_step_matches_single_process():
         tkv = dict(tok.split("=") for tok in tline.split()[1:] if "=" in tok)
         assert tkv["descend"] == "True", tline
         results[int(kv["proc"]) + 10] = (float(tkv["l1"]), float(tkv["l2"]))
-    assert set(results) == {0, 1, 10, 11}
+        cline = [l for l in out.splitlines() if l.startswith("CUSTOM")][-1]
+        ckv = dict(tok.split("=") for tok in cline.split()[1:] if "=" in tok)
+        results[int(kv["proc"]) + 20] = float(ckv["loss"])
+        assert np.isfinite(results[int(kv["proc"]) + 20]), cline
+    assert set(results) == {0, 1, 10, 11, 20, 21}
     # both processes agree bit-for-bit on the global loss and grad norm
     np.testing.assert_allclose(results[0], results[1], rtol=0)
     # ... and on the multihost Trainer's per-step losses
     np.testing.assert_allclose(results[10], results[11], rtol=0)
+    # ... and on the custom-loss (GRPO-style) multihost step
+    np.testing.assert_allclose(results[20], results[21], rtol=0)
 
     # single-process oracle: same tries, fake 8-device mesh
     import jax
