@@ -360,7 +360,7 @@ def moe_apply(
     return jnp.zeros((n, d), jnp.float32).at[tok].add(ys).astype(h.dtype)
 
 
-def moe_route(h, router, config: Qwen3Config, valid=None):
+def moe_route(h, router, config: Qwen3Config, valid=None, stat_axes=()):
     """Router + top-k + load-balance loss, shared by every EP flavor.
 
     Returns (w [n,k] f32, idx [n,k] i32, lb scalar). With `valid` (a [n]
@@ -369,7 +369,12 @@ def moe_route(h, router, config: Qwen3Config, valid=None):
     never occupy expert capacity). Aux loss is the Switch/GShard
     load-balance term E · Σ_e f_e·P̄_e (HF Qwen3Moe's
     load_balancing_loss_func equivalent, masked like its attention_mask
-    path)."""
+    path).
+
+    `stat_axes`: mesh axis names to pool the lb statistics over (used under
+    sequence parallelism, where each rank routes a slice of the SAME packed
+    trie — the counts/probs sums psum over "seq" so the lb term matches the
+    unsharded computation instead of a sum of per-shard terms)."""
     c = config
     n = h.shape[0]
     E, k = c.num_experts, c.num_experts_per_tok
@@ -379,18 +384,23 @@ def moe_route(h, router, config: Qwen3Config, valid=None):
     if c.norm_topk_prob:
         w = w / jnp.sum(w, axis=-1, keepdims=True)
     if valid is None:
-        nk = jnp.float32(n * k)
         counts = jnp.zeros((E,), jnp.float32).at[idx.reshape(-1)].add(1.0)
-        lb = E * jnp.sum((counts / nk) * jnp.mean(probs, axis=0))
-        return w, idx, lb
-    m = valid.astype(jnp.float32)
-    idx = jnp.where(valid[:, None] > 0, idx, E)  # OOB scatter updates drop
-    n_eff = jnp.maximum(jnp.sum(m), 1.0)
-    counts = jnp.zeros((E,), jnp.float32).at[idx.reshape(-1)].add(
-        jnp.repeat(m, k)
-    )
-    mean_probs = jnp.sum(probs * m[:, None], axis=0) / n_eff
-    lb = E * jnp.sum((counts / (n_eff * k)) * mean_probs)
+        n_eff = jnp.float32(n)
+        prob_sum = jnp.sum(probs, axis=0)
+    else:
+        m = valid.astype(jnp.float32)
+        idx = jnp.where(valid[:, None] > 0, idx, E)  # OOB scatter updates drop
+        counts = jnp.zeros((E,), jnp.float32).at[idx.reshape(-1)].add(
+            jnp.repeat(m, k)
+        )
+        n_eff = jnp.sum(m)
+        prob_sum = jnp.sum(probs * m[:, None], axis=0)
+    for ax in stat_axes:
+        counts = jax.lax.psum(counts, ax)
+        n_eff = jax.lax.psum(n_eff, ax)
+        prob_sum = jax.lax.psum(prob_sum, ax)
+    n_eff = jnp.maximum(n_eff, 1.0)
+    lb = E * jnp.sum((counts / (n_eff * k)) * (prob_sum / n_eff))
     return w, idx, lb
 
 

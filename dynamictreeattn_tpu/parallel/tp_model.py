@@ -122,12 +122,21 @@ def _layer_tp(
 
     h_norm = rms_norm(x, lp["ln2"], eps)
     if c.is_moe:
+        # under sequence parallelism every seq rank routes a slice of the
+        # SAME packed trie: pool the load-balance statistics over "seq"
+        # (moe_route stat_axes) and emit lb/sp per rank so the loss-level
+        # psum("seq") reconstructs exactly the unsharded global lb term
+        stat_axes = (seq_axis,) if sp > 1 else ()
         if ep > 1:
             x, lb = _moe_block_ep_a2a(
-                x, h_norm, lp, c, tp, axis, ep, ep_axis, valid
+                x, h_norm, lp, c, tp, axis, ep, ep_axis, valid,
+                stat_axes=stat_axes,
             )
         else:
-            x, lb = _moe_block_ep(x, h_norm, lp, c, tp, axis, valid)
+            x, lb = _moe_block_ep(x, h_norm, lp, c, tp, axis, valid,
+                                  stat_axes=stat_axes)
+        if sp > 1:
+            lb = lb / sp
         return x, lb
     h = mpar_in(h_norm, axis)
     act = jax.nn.silu((h @ lp["gate"]).astype(jnp.float32)).astype(h.dtype)
@@ -136,7 +145,7 @@ def _layer_tp(
 
 
 def _moe_block_ep(x, h_norm, lp, c: Qwen3Config, tp: int, axis: str,
-                  valid=None):
+                  valid=None, stat_axes=()):
     """Expert-parallel MoE over the "model" axis (replicated activations).
 
     Routing (router matmul, softmax, top-k, load-balance loss) is computed
@@ -154,7 +163,7 @@ def _moe_block_ep(x, h_norm, lp, c: Qwen3Config, tp: int, axis: str,
     n = h_norm.shape[0]
     E, k = c.num_experts, c.num_experts_per_tok
     e_local = E // tp
-    w, idx, lb = moe_route(h_norm, lp["router"], c, valid)
+    w, idx, lb = moe_route(h_norm, lp["router"], c, valid, stat_axes)
     cap = int(math.ceil(c.moe_capacity_factor * n * k / E))
     e_off = jax.lax.axis_index(axis) * e_local
     y_partial = moe_apply(
@@ -166,7 +175,7 @@ def _moe_block_ep(x, h_norm, lp, c: Qwen3Config, tp: int, axis: str,
 
 
 def _moe_block_ep_a2a(x, h_norm, lp, c: Qwen3Config, tp: int, axis: str,
-                      ep: int, ep_axis: str, valid=None):
+                      ep: int, ep_axis: str, valid=None, stat_axes=()):
     """Expert parallelism over the `ep_axis` ("data") via token all-to-all,
     composed with expert sharding over `axis` ("model"): expert e lives on
     (data rank e // (E/ep), model rank (e % (E/ep)) // (E/(ep·tp))).
@@ -192,7 +201,7 @@ def _moe_block_ep_a2a(x, h_norm, lp, c: Qwen3Config, tp: int, axis: str,
     e_local = e_owned // tp  # ... per (data, model) rank
     # --- routing: rank-local tokens, replicated over "model" (masked idx for
     # padding rows is E — dest computes to ep and the pair is never packed)
-    w, idx, lb = moe_route(h_norm, lp["router"], c, valid)
+    w, idx, lb = moe_route(h_norm, lp["router"], c, valid, stat_axes)
 
     # --- dispatch: pack pairs by destination data rank (stable sort → the
     # within-source order is preserved, so drops are deterministic)

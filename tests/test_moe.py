@@ -255,6 +255,49 @@ def test_moe_pipeline_matches_single_device(schedule):
     assert rows[0][1] < 1e-3, rows[:3]
 
 
+@pytest.mark.parametrize("dp,sp,tp", [(1, 2, 1), (2, 2, 1)])
+def test_moe_ulysses_sp_matches_single_device(dp, sp, tp):
+    """MoE × Ulysses sequence parallelism: the router load-balance loss must
+    use GLOBAL statistics (counts/probs psum'd over "seq"), not a sum of
+    per-shard lb terms — loss, lb aux, and grads all match the single-device
+    oracle (ample capacity → no drops)."""
+    import dataclasses
+
+    from dynamictreeattn_tpu.parallel import (
+        make_mesh, make_train_step, shard_params, stack_batches,
+    )
+    from dynamictreeattn_tpu.utils import compare_grads
+
+    cfg = dataclasses.replace(
+        MOE, moe_capacity_factor=float(MOE.num_experts), router_aux_coef=0.01
+    )
+    rng = np.random.default_rng(23)
+    tries = [
+        TokenTrie(*random_trie_batch(rng, n_seqs=6, vocab=cfg.vocab_size,
+                                     max_len=20))
+        for _ in range(dp)
+    ]
+    mesh = make_mesh(dp=dp, tp=tp, sp=sp)
+    params = init_params(cfg, jax.random.key(0), dtype=jnp.float32)
+    step = make_train_step(cfg, mesh, ECFG)
+    batch = stack_batches(tries, ECFG, sp=sp)
+    loss, grads, aux = step(shard_params(params, mesh, cfg), batch.arrays)
+
+    engine = TreeEngine(cfg, ECFG)
+    total_loss, total_grads, total_lb = 0.0, None, 0.0
+    for t in tries:
+        l, g, a = engine.loss_and_grad(params, engine.prepare(t))
+        total_loss += float(l)
+        total_lb += float(a["lb_loss"])
+        total_grads = g if total_grads is None else jax.tree.map(
+            jnp.add, total_grads, g
+        )
+    np.testing.assert_allclose(float(loss), total_loss, rtol=1e-4)
+    np.testing.assert_allclose(float(aux["lb_loss"]), total_lb, rtol=1e-4)
+    rows = compare_grads(total_grads, jax.device_get(grads))
+    assert rows[0][1] < 1e-3, rows[:3]
+
+
 def test_moe_logits_match_hf():
     """JAX MoE forward == HF Qwen3MoeForCausalLM on the same weights.
 
