@@ -49,7 +49,29 @@ def hf_config(config: Qwen3Config):
         from transformers.models.qwen3 import Qwen3Config as HFQwen3Config
 
         assert not config.attention_bias
-        return HFQwen3Config(head_dim=config.head_dim, attention_bias=False, **common)
+        rope_scaling = None
+        if config.rope_scaling is not None:
+            # long-context Qwen3 ships yarn scaling (HF rope_type "yarn")
+            assert config.rope_scaling == "yarn", config.rope_scaling
+            rope_scaling = {
+                "rope_type": "yarn",
+                "factor": config.rope_factor,
+                "beta_fast": config.rope_beta_fast,
+                "beta_slow": config.rope_beta_slow,
+                "original_max_position_embeddings":
+                    config.rope_original_max_position,
+            }
+            if config.rope_attention_factor is not None:
+                rope_scaling["attention_factor"] = config.rope_attention_factor
+        return HFQwen3Config(
+            head_dim=config.head_dim, attention_bias=False,
+            rope_scaling=rope_scaling,
+            max_position_embeddings=max(
+                40960, int(config.rope_factor *
+                           config.rope_original_max_position)
+            ),
+            **common,
+        )
     if not config.attention_bias:
         # Llama-3: no q/k norm, no biases, optional llama3 rope scaling
         from transformers.models.llama import LlamaConfig as HFLlamaConfig

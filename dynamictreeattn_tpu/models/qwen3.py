@@ -70,13 +70,19 @@ class Qwen3Config:
     # are dropped, standard for static-shape TPU MoE); raise for exactness.
     moe_capacity_factor: float = 1.5
     router_aux_coef: float = 0.001  # load-balance aux loss weight (0 = off)
-    # Llama-3.1+ rope scaling (beyond the reference's Qwen-only support):
-    # "llama3" rescales inv_freq by wavelength band, per HF's llama3 rope_init
-    rope_scaling: str | None = None  # None or "llama3"
+    # Rope scaling (beyond the reference's Qwen-only support):
+    # "llama3" rescales inv_freq by wavelength band (HF llama3 rope_init);
+    # "yarn" is NTK-by-parts interpolation + attention-factor cos/sin scale
+    # (HF yarn rope_init — the published long-context Qwen3 recipe,
+    # factor 4 × 32768 → 131072 positions)
+    rope_scaling: str | None = None  # None, "llama3", or "yarn"
     rope_factor: float = 8.0
-    rope_low_freq_factor: float = 1.0
-    rope_high_freq_factor: float = 4.0
+    rope_low_freq_factor: float = 1.0  # llama3 only
+    rope_high_freq_factor: float = 4.0  # llama3 only
     rope_original_max_position: int = 8192
+    rope_beta_fast: float = 32.0  # yarn only
+    rope_beta_slow: float = 1.0  # yarn only
+    rope_attention_factor: float | None = None  # yarn; None = 0.1·ln(f)+1
 
     @property
     def is_moe(self) -> bool:
@@ -88,12 +94,23 @@ class Qwen3Config:
 
     @property
     def rope_scaling_tuple(self):
-        """Hashable rope-scaling spec for rope_tables (None = unscaled)."""
+        """Hashable tagged rope-scaling spec for rope_tables (None = unscaled)."""
         if self.rope_scaling is None:
             return None
-        assert self.rope_scaling == "llama3", self.rope_scaling
-        return (self.rope_factor, self.rope_low_freq_factor,
-                self.rope_high_freq_factor, self.rope_original_max_position)
+        if self.rope_scaling == "llama3":
+            return ("llama3", self.rope_factor, self.rope_low_freq_factor,
+                    self.rope_high_freq_factor, self.rope_original_max_position)
+        if self.rope_scaling == "yarn":
+            import math
+
+            att = self.rope_attention_factor
+            if att is None:
+                att = (0.1 * math.log(self.rope_factor) + 1.0
+                       if self.rope_factor > 1 else 1.0)
+            return ("yarn", self.rope_factor, self.rope_beta_fast,
+                    self.rope_beta_slow, self.rope_original_max_position,
+                    float(att))
+        raise ValueError(f"unknown rope_scaling {self.rope_scaling!r}")
 
 
 # Published Qwen3 dense family configs (the reference's sweep models,
@@ -124,6 +141,26 @@ MODEL_CONFIGS: dict[str, Qwen3Config] = {
     "qwen3-14b": Qwen3Config(
         hidden_size=5120, intermediate_size=17408, num_hidden_layers=40,
         num_attention_heads=40, num_key_value_heads=8, tie_word_embeddings=False,
+    ),
+    "qwen3-tiny-yarn": Qwen3Config(  # CPU-test config for yarn rope scaling
+        vocab_size=128, hidden_size=64, intermediate_size=96,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, tie_word_embeddings=True,
+        rope_scaling="yarn", rope_factor=4.0, rope_original_max_position=64,
+    ),
+    # Long-context Qwen3 (the published recipe: yarn factor 4 over the
+    # 32768 native window -> 131072 positions, per the Qwen3 model cards)
+    "qwen3-0.6b-128k": Qwen3Config(
+        hidden_size=1024, intermediate_size=3072, num_hidden_layers=28,
+        num_attention_heads=16, num_key_value_heads=8, tie_word_embeddings=True,
+        rope_scaling="yarn", rope_factor=4.0,
+        rope_original_max_position=32768,
+    ),
+    "qwen3-4b-128k": Qwen3Config(
+        hidden_size=2560, intermediate_size=9728, num_hidden_layers=36,
+        num_attention_heads=32, num_key_value_heads=8, tie_word_embeddings=True,
+        rope_scaling="yarn", rope_factor=4.0,
+        rope_original_max_position=32768,
     ),
     # Qwen2.5 dense family (published configs)
     "qwen2.5-0.5b": Qwen3Config(
@@ -268,16 +305,26 @@ def rope_tables(positions: jnp.ndarray, head_dim: int, theta: float,
                 scaling: tuple | None = None):
     """(cos, sin) [n, head_dim] in fp32, HF rotate-half layout.
 
-    `scaling` = (factor, low_freq_factor, high_freq_factor, original_max_pos)
-    applies Llama-3.1's wavelength-banded inv_freq rescale (HF
-    ROPE_INIT_FUNCTIONS["llama3"]): long wavelengths divide by `factor`,
-    short ones stay, the band between interpolates smoothly."""
+    `scaling` is a tagged tuple from Qwen3Config.rope_scaling_tuple:
+
+    * ("llama3", factor, low_freq_factor, high_freq_factor, original_max) —
+      Llama-3.1's wavelength-banded inv_freq rescale (HF
+      ROPE_INIT_FUNCTIONS["llama3"]): long wavelengths divide by `factor`,
+      short ones stay, the band between interpolates smoothly;
+    * ("yarn", factor, beta_fast, beta_slow, original_max, attention_factor)
+      — YaRN NTK-by-parts (HF ROPE_INIT_FUNCTIONS["yarn"], the published
+      long-context Qwen3 recipe): per-dim blend of interpolated
+      (inv_freq/factor) and extrapolated inv_freq over the correction range,
+      with cos/sin scaled by `attention_factor`."""
+    import math
+
     half = head_dim // 2
     inv_freq = 1.0 / (
         theta ** (jnp.arange(0, half, dtype=jnp.float32) / half)
     )  # [half]
-    if scaling is not None:
-        factor, lo, hi, orig = scaling
+    att = 1.0
+    if scaling is not None and scaling[0] == "llama3":
+        _, factor, lo, hi, orig = scaling
         wavelen = 2.0 * jnp.pi / inv_freq
         low_wavelen = orig / lo
         high_wavelen = orig / hi
@@ -288,9 +335,29 @@ def rope_tables(positions: jnp.ndarray, head_dim: int, theta: float,
             inv_freq / factor,
             jnp.where(wavelen < high_wavelen, inv_freq, mid),
         )
+    elif scaling is not None and scaling[0] == "yarn":
+        _, factor, beta_fast, beta_slow, orig, att = scaling
+        dim = 2 * half  # rotary dim
+
+        def corr_dim(rot):
+            return (dim * math.log(orig / (rot * 2 * math.pi))) / (
+                2 * math.log(theta)
+            )
+
+        low = max(math.floor(corr_dim(beta_fast)), 0)
+        high = min(math.ceil(corr_dim(beta_slow)), dim - 1)
+        ramp = jnp.clip(
+            (jnp.arange(half, dtype=jnp.float32) - low)
+            / max(high - low, 1e-3),
+            0.0, 1.0,
+        )
+        extrap_factor = 1.0 - ramp
+        inv_freq = (inv_freq / factor) * (1.0 - extrap_factor) + (
+            inv_freq * extrap_factor
+        )
     angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [n, half]
     angles = jnp.concatenate([angles, angles], axis=-1)  # [n, dh]
-    return jnp.cos(angles), jnp.sin(angles)
+    return jnp.cos(angles) * att, jnp.sin(angles) * att
 
 
 def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarray:

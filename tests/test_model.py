@@ -211,6 +211,37 @@ def test_llama_logits_match_hf():
     np.testing.assert_allclose(ours, theirs.float().numpy(), rtol=2e-4, atol=2e-4)
 
 
+def test_yarn_logits_match_hf():
+    """Long-context Qwen3 (beyond-reference): YaRN NTK-by-parts rope scaling
+    + attention-factor cos/sin scale must match HF's yarn rope_init exactly
+    (positions pushed past the original window so scaling matters)."""
+    import torch
+    from transformers.models.qwen3 import Qwen3ForCausalLM
+
+    from dynamictreeattn_tpu.models import MODEL_CONFIGS
+
+    cfg = MODEL_CONFIGS["qwen3-tiny-yarn"]
+    params = init_params(cfg, jax.random.key(8), dtype=jnp.float32)
+
+    n = 96  # > rope_original_max_position=64: exercises the scaled regime
+    tokens = np.arange(n, dtype=np.int32) * 5 % cfg.vocab_size
+    hidden = forward_hidden(
+        params, cfg, jnp.asarray(tokens), jnp.arange(n, dtype=jnp.int32),
+        _causal_attn_fn(n),
+    )
+    ours = np.asarray(logits_from_hidden(params, cfg, hidden))
+
+    hf_model = Qwen3ForCausalLM(hf_config(cfg)).eval()
+    sd = {k: torch.from_numpy(np.array(v))
+          for k, v in to_hf_state_dict(params, cfg).items()}
+    missing, unexpected = hf_model.load_state_dict(sd, strict=False)
+    assert not [m for m in missing if "rotary" not in m], missing
+    assert not unexpected, unexpected
+    with torch.no_grad():
+        theirs = hf_model(torch.from_numpy(tokens[None].astype(np.int64))).logits[0]
+    np.testing.assert_allclose(ours, theirs.float().numpy(), rtol=2e-4, atol=2e-4)
+
+
 def test_nested_remat_matches_plain():
     cfg = Qwen3Config(
         vocab_size=128, hidden_size=64, intermediate_size=96,
