@@ -26,6 +26,7 @@ from dynamictreeattn_tpu.ops.tree_attention_ref import tree_attention_reference
 from dynamictreeattn_tpu.parallel.tp_model import forward_hidden_tp, tp_param_shard_info
 from dynamictreeattn_tpu.parallel.vocab_parallel import (
     vp_tree_edge_logprobs,
+    vp_tree_edge_logprobs_sp,
     vp_tree_loss_edges,
     vp_tree_loss_from_hidden,
 )
@@ -279,6 +280,9 @@ def batch_partition_specs(
         bspec["seq_lens"] = P("data", None)
         for name, nd in extras_spec.items():
             bspec["x_" + name] = P("data", None, *([None] * nd))
+        if sp > 1:
+            for f in ("ce_parent", "ce_token", "ce_child"):
+                bspec[f] = P("data", "seq", None)
     return bspec
 
 
@@ -363,11 +367,45 @@ def stack_batches(
                 lens[r, i] = len(path)
         arrays["seq_paths"] = paths
         arrays["seq_lens"] = lens
+        if sp > 1:
+            arrays.update(_custom_edge_arrays(packeds, sp, n_pad))
     # device=False keeps host numpy (multihost placement re-shards via
     # make_array_from_callback — uploading here would just round-trip)
     if device:
         arrays = {k: jnp.asarray(v) for k, v in arrays.items()}
     return StackedBatch(arrays=arrays, packeds=packeds)
+
+
+def _custom_edge_arrays(packeds: list, sp: int, n_pad: int) -> dict:
+    """Parent-owned edge triples for the CUSTOM-loss path under sequence
+    parallelism: every real edge (parent >= 0), carrying the child's GLOBAL
+    position so per-edge logprobs can be scattered back into a full [n]
+    vector (vp_tree_edge_logprobs_sp). Padding slots point child at n_pad
+    (out of bounds — the scatter drops them)."""
+    n_loc = n_pad // sp
+    rows, width = [], 1
+    for p in packeds:
+        j = np.nonzero(p.parent >= 0)[0]
+        par = p.parent[j]
+        owner = par // n_loc
+        per_rank = []
+        for s in range(sp):
+            m = owner == s
+            per_rank.append((par[m] - s * n_loc, p.tokens[j[m]], j[m]))
+            width = max(width, int(m.sum()))
+        rows.append(per_rank)
+    width = _next_pow2(width)
+    dp = len(packeds)
+    c_par = np.zeros((dp, sp, width), np.int32)
+    c_tok = np.zeros((dp, sp, width), np.int32)
+    c_child = np.full((dp, sp, width), n_pad, np.int32)
+    for r, per_rank in enumerate(rows):
+        for s, (pl, tk, ch) in enumerate(per_rank):
+            c = len(pl)
+            c_par[r, s, :c] = pl
+            c_tok[r, s, :c] = tk
+            c_child[r, s, :c] = ch
+    return {"ce_parent": c_par, "ce_token": c_tok, "ce_child": c_child}
 
 
 def _edge_arrays(packeds: list, sp: int, n_pad: int) -> dict:
@@ -500,9 +538,6 @@ def make_train_step(
     else:
         dims = None
         pspecs = param_specs(mc, ep_size)
-    if custom_loss is not None and sp > 1:
-        raise ValueError("custom_loss + sequence parallelism not "
-                         "supported yet")
     bspec = batch_partition_specs(
         sp, sp_mode,
         extras_spec=(extras_spec or {}) if custom_loss is not None else None,
@@ -567,9 +602,21 @@ def make_train_step(
             )
             w_local = p["embed"].T if mc.tie_word_embeddings else p["lm_head"]
             if custom_loss is not None:
-                lp_edge, entropy = vp_tree_edge_logprobs(
-                    h, w_local, tokens, parent, ec.temperature, ec.loss_chunk
-                )
+                if sp > 1:
+                    # parent-owned per-edge logprobs assembled into the full
+                    # replicated [n] vector; the /sp below makes the loss-
+                    # level psum("seq") sum to the unsharded value exactly
+                    lp_edge, entropy = vp_tree_edge_logprobs_sp(
+                        h, w_local,
+                        batch["ce_parent"][0, 0], batch["ce_token"][0, 0],
+                        batch["ce_child"][0, 0], tokens.shape[0],
+                        ec.temperature, ec.loss_chunk,
+                    )
+                else:
+                    lp_edge, entropy = vp_tree_edge_logprobs(
+                        h, w_local, tokens, parent, ec.temperature,
+                        ec.loss_chunk,
+                    )
                 paths = batch["seq_paths"][0]
                 lengths = batch["seq_lens"][0]
                 extras = {k[2:]: batch[k][0] for k in batch
@@ -590,6 +637,9 @@ def make_train_step(
                     "sum_logprob": jnp.sum(lp_rows * m_lp),
                     "sum_entropy": jnp.sum(ent_rows * m_en),
                 }
+                if sp > 1:
+                    loss = loss / sp
+                    aux = jax.tree.map(lambda a: a / sp, aux)
             elif sp > 1:
                 loss, aux = vp_tree_loss_edges(
                     h, w_local, e_par, e_tok, e_w, w_ent_loc,

@@ -124,6 +124,39 @@ def vp_tree_loss_from_hidden(
     return loss, {"sum_logprob": sum_lp, "sum_entropy": sum_ent}
 
 
+def vp_tree_edge_logprobs_sp(
+    hidden_local,  # [n_loc, d] — this seq rank's hidden rows
+    w_local,  # [d, V/tp]
+    edge_parent,  # [E] int32 — LOCAL parent position of each owned edge
+    edge_token,  # [E] int32 — global child token id
+    edge_child,  # [E] int32 — GLOBAL child position (= n_global for padding
+    #              slots: scatter drops out-of-bounds updates)
+    n_global: int,
+    temperature: float = 1.0,
+    chunk_size: int = 1024,
+    axis: str = "model",
+    seq_axis: str = "seq",
+):
+    """(lp_edge [n_global], entropy [n_global]) under sequence parallelism —
+    the per-edge (non-reduced) companion of vp_tree_loss_edges for custom
+    per-sequence losses: each seq rank evaluates the edges whose parent it
+    owns (parent-side activations only), scatters them to the child's global
+    position, and a psum over `seq_axis` assembles the full replicated
+    vector; entropies ride an all_gather of the rank-contiguous rows.
+    Autodiff routes each edge's cotangent back to the owning rank through
+    the psum/scatter transpose."""
+    lse, ent_loc = vp_position_stats(
+        hidden_local, w_local, temperature, chunk_size, axis
+    )
+    h_par = jnp.take(hidden_local, edge_parent, axis=0)  # [E, d]
+    label_logit = vp_label_logits(h_par, edge_token, w_local, temperature, axis)
+    lp_own = label_logit - jnp.take(lse, edge_parent)
+    lp_edge = jnp.zeros((n_global,), jnp.float32).at[edge_child].add(lp_own)
+    lp_edge = jax.lax.psum(lp_edge, seq_axis)
+    entropy = jax.lax.all_gather(ent_loc, seq_axis, axis=0, tiled=True)
+    return lp_edge, entropy
+
+
 def vp_tree_loss_edges(
     hidden_local,  # [n_loc, d] — this seq rank's hidden rows
     w_local,  # [d, V/tp]

@@ -117,10 +117,8 @@ class Trainer:
                 schedule=train_config.pp_schedule,
             )
         else:
-            if custom_loss is not None and (
-                train_config.sp > 1 or train_config.pp > 1
-            ):
-                raise ValueError("custom_loss requires sp == pp == 1")
+            if custom_loss is not None and train_config.pp > 1:
+                raise ValueError("custom_loss requires pp == 1")
             self._step_fn = make_train_step(
                 self.mc, self.mesh, self.ec, optimizer=self.optimizer,
                 fsdp=train_config.fsdp,

@@ -497,13 +497,20 @@ def test_sharded_forward_with_fsdp_params():
     )
 
 
-def test_sharded_custom_loss_matches_engine(dp=2, tp=2):
+@pytest.mark.parametrize("dp,sp,tp,sp_mode", [
+    (2, 1, 2, "ulysses"),
+    (2, 2, 1, "ulysses"),  # custom loss under Ulysses sequence parallelism
+    (1, 2, 2, "ring"),     # ... and under ring sequence parallelism
+])
+def test_sharded_custom_loss_matches_engine(dp, sp, tp, sp_mode):
     """Clipped-ratio (GRPO/PPO) per-sequence loss AT SCALE: the sharded step
-    with custom_loss == summed single-device engine.loss_and_grad_custom."""
+    with custom_loss == summed single-device engine.loss_and_grad_custom —
+    including under sequence parallelism (parent-owned per-edge logprobs,
+    vp_tree_edge_logprobs_sp)."""
     tries, _ = _tries(dp, seed=41)
-    mesh = make_mesh(dp=dp, tp=tp)
+    mesh = make_mesh(dp=dp, tp=tp, sp=sp)
     params = init_params(TINY, jax.random.key(5), dtype=jnp.float32)
-    batch = stack_batches(tries, ECFG, with_paths=True)
+    batch = stack_batches(tries, ECFG, sp=sp, sp_mode=sp_mode, with_paths=True)
     S = batch.arrays["seq_lens"].shape[1]
     Lb = batch.arrays["seq_paths"].shape[2]
 
@@ -519,7 +526,7 @@ def test_sharded_custom_loss_matches_engine(dp=2, tp=2):
         return -jnp.sum(obj * m) / jnp.maximum(length - 1, 1)
 
     step = make_train_step(
-        TINY, mesh, ECFG, custom_loss=ppo_loss,
+        TINY, mesh, ECFG, custom_loss=ppo_loss, sp_mode=sp_mode,
         extras_spec={"beh": 1, "adv": 0},
     )
     arrays = dict(batch.arrays)
