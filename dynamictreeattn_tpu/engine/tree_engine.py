@@ -56,6 +56,10 @@ class EngineConfig:
     loss_chunk: int = 1024
     attn_backend: str = "pallas"  # "pallas" | "reference"
     interpret: bool = False  # pallas interpret mode (CPU debugging)
+    # fwd kernel softmax shift: "auto" = "bound" (Cauchy-Schwarz row bound,
+    # no online-softmax chain — see ops/tree_attention.py) for qk-normed
+    # models, "online" otherwise; or force either mode explicitly
+    fwd_softmax: str = "auto"
     # "ladder": geometric (≤25% waste) length buckets so jit shapes repeat
     # across workloads (SURVEY.md §7.3 hard part 3); "exact": minimal padding
     # (one compile per distinct length — benchmarking single fixed workloads)
@@ -166,10 +170,18 @@ class TreeEngine:
             return lambda q, k, v: tree_attention_reference(q, k, v, last_desc)
         if cfg.attn_backend == "pallas":
             bs = BlockSizes(cfg.block_q, cfg.block_kv)
+            mode = self._fwd_softmax()
             return lambda q, k, v: tree_attention(
-                q, k, v, last_desc, *meta, block_sizes=bs, interpret=cfg.interpret
+                q, k, v, last_desc, *meta, block_sizes=bs,
+                interpret=cfg.interpret, softmax_mode=mode,
             )
         raise ValueError(f"unknown attn_backend {cfg.attn_backend!r}")
+
+    def _fwd_softmax(self) -> str:
+        mode = self.cfg.fwd_softmax
+        if mode == "auto":
+            return "bound" if getattr(self.mc, "use_qk_norm", False) else "online"
+        return mode
 
     def _hidden(self, params, tokens, depth, last_desc, meta, valid=None):
         return forward_hidden(

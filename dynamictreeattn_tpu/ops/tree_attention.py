@@ -213,6 +213,177 @@ def _fwd(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret,
     return o, lse_full[..., 0]  # lse: [hkv, group, n]
 
 
+# --------------------------------------------------------------------- fwd/bound
+
+
+def _fwd_bound_kernel(
+    # scalar prefetch
+    offs_ref,
+    ids_ref,
+    counts_ref,
+    types_ref,
+    # inputs
+    q_ref,
+    k_ref,
+    v_ref,
+    ld_ref,
+    c_ref,
+    # outputs
+    o_ref,
+    logl_ref,
+    # scratch
+    l_scr,
+    acc_scr,
+    *,
+    scale: float,
+    block_q: int,
+    block_kv: int,
+    group: int,
+):
+    """Bound-shift forward: no online softmax.
+
+    ``c_ref`` holds a per-row upper bound C >= max_k score(q_row, k) (computed
+    outside the kernel from ||q_row||*max||k||, Cauchy-Schwarz), so
+    ``p = exp(st - C) <= 1`` needs no running max, no alpha rescale, and no
+    accumulator rescale — the three VPU chains that make the online forward
+    the slowest of the three kernels (docs/PERF.md). Scores are built k-major
+    ([bkv, bq]) so the remaining sum-reduction runs over sublanes, which is
+    cheap, and the per-row constants broadcast over sublanes naturally.
+    Emits unnormalized log(sum exp(st - C)); the caller adds C back to form
+    the lse the backward kernels consume.
+    """
+    i = pl.program_id(1)
+    s = pl.program_id(2)
+    count = counts_ref[i]
+    typ = types_ref[i, s]
+
+    @pl.when(s == 0)
+    def _init():
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    @pl.when(typ > 0)
+    def _compute():
+        kv_id = ids_ref[i, s]
+        k = k_ref[0]  # [bkv, dh]
+        v = v_ref[0]
+        # k-major orientation: rows = kv positions, lanes = q positions.
+        k_pos = offs_ref[1] + kv_id * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (block_kv, block_q), 0
+        )
+        q_pos = offs_ref[0] + i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_kv, block_q), 1
+        )
+        ld_col = jnp.expand_dims(ld_ref[0], -1)  # [bkv, 1]
+        mask = (k_pos <= q_pos) & (q_pos <= ld_col)
+        mask = mask | (typ == 2)
+        bias = jnp.where(mask, 0.0, MASK_VALUE)
+
+        for gi in range(group):
+            sl = slice(gi * block_q, (gi + 1) * block_q)
+            q = q_ref[0, gi]  # [bq, dh]
+            c_row = c_ref[0, gi : gi + 1, :]  # [1, bq]
+            st = (
+                jax.lax.dot_general(
+                    k,
+                    q,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+                + bias
+            )  # [bkv, bq]
+            p = jnp.exp(st - c_row)
+            l_scr[0:1, sl] += jnp.sum(p, axis=0, keepdims=True)
+            acc_scr[sl] += jax.lax.dot_general(
+                p.astype(v.dtype),
+                v,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [bq, dh]
+
+    @pl.when(s == count - 1)
+    def _emit():
+        for gi in range(group):
+            sl = slice(gi * block_q, (gi + 1) * block_q)
+            l_col = jnp.transpose(l_scr[0:1, sl])  # [bq, 1]
+            inv = jnp.where(l_col == 0.0, 1.0, 1.0 / l_col)
+            o_ref[0, gi] = (acc_scr[sl] * inv).astype(o_ref.dtype)
+            logl_ref[0, gi] = jnp.broadcast_to(
+                jnp.log(jnp.maximum(l_col, 1e-30)), (block_q, NUM_LANES)
+            )
+
+
+def _score_bound(q4, k, scale):
+    """Per-row score upper bound C[h,g,row] = scale*||q_row||*max_r||k_r||.
+
+    Sound for any weights (Cauchy-Schwarz); tight enough to keep
+    exp(st - C) well inside fp32 range for qk-normed models, where
+    |st| <= sqrt(dh)*|g_q|*|g_k| — see tree_attention docstring."""
+    qn = jnp.sqrt(
+        jnp.sum(jnp.square(q4.astype(jnp.float32)), axis=-1)
+    )  # [hkv, group, n]
+    kn = jnp.sqrt(jnp.sum(jnp.square(k.astype(jnp.float32)), axis=-1))  # [hkv, n]
+    kmax = jnp.max(kn, axis=-1)  # [hkv]
+    return scale * qn * kmax[:, None, None]
+
+
+def _fwd_bound(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret,
+               offs=None, c=None):
+    hkv, group, n, dh = q4.shape
+    bq, bkv = bs.block_q, bs.block_kv
+    nq = n // bq
+    slots = kv_ids.shape[1]
+    grid = (hkv, nq, slots)
+    if offs is None:
+        offs = jnp.zeros((2,), jnp.int32)
+    if c is None:
+        c = _score_bound(q4, k, scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, group, bq, dh), lambda h, i, s, off, ids, cnt, typ: (h, 0, i, 0)),
+            pl.BlockSpec((1, bkv, dh), lambda h, i, s, off, ids, cnt, typ: (h, ids[i, s], 0)),
+            pl.BlockSpec((1, bkv, dh), lambda h, i, s, off, ids, cnt, typ: (h, ids[i, s], 0)),
+            pl.BlockSpec(
+                (1, bkv),
+                lambda h, i, s, off, ids, cnt, typ: (0, off[1] // bkv + ids[i, s]),
+            ),
+            pl.BlockSpec((1, group, bq), lambda h, i, s, off, ids, cnt, typ: (h, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, group, bq, dh), lambda h, i, s, off, ids, cnt, typ: (h, 0, i, 0)),
+            pl.BlockSpec(
+                (1, group, bq, NUM_LANES),
+                lambda h, i, s, off, ids, cnt, typ: (h, 0, i, 0),
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, group * bq), jnp.float32),
+            pltpu.VMEM((group * bq, dh), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _fwd_bound_kernel, scale=scale, block_q=bq, block_kv=bkv, group=group
+    )
+    o, logl = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(q4.shape, q4.dtype),
+            jax.ShapeDtypeStruct((hkv, group, n, NUM_LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=_interpret_mode(interpret),
+        name="tree_attention_fwd_bound",
+    )(offs.astype(jnp.int32), kv_ids, kv_counts, kv_types, q4, k, v, ld2, c)
+    return o, c + logl[..., 0]  # lse: [hkv, group, n]
+
+
 # ---------------------------------------------------------------------------- dq
 
 
@@ -487,7 +658,44 @@ def _bwd_dkv(q4, k, v, ld2, q_ids, q_counts, q_types, do, lse, di, scale, bs,
 # -------------------------------------------------------------------- custom_vjp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+# Guard for the bound path: scores satisfy |st| <= C (Cauchy-Schwarz both
+# ways), so the shift's worst-case slack over the true row max is 2*max(C).
+# exp(st - C) keeps full fp32 precision while the slack stays inside the
+# normal range (floor ~e^-87); max(C) < 40 caps the slack at 80 e-folds.
+BOUND_SAFE_MAX = 40.0
+
+
+def _fwd_dispatch(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale,
+                  block_sizes, interpret, softmax_mode):
+    if softmax_mode == "bound":
+        c = _score_bound(q4, k, scale)
+
+        def take_bound(q4, k, v, ld2, c):
+            return _fwd_bound(
+                q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale,
+                block_sizes, interpret, c=c,
+            )
+
+        def take_online(q4, k, v, ld2, c):
+            return _fwd(
+                q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale,
+                block_sizes, interpret,
+            )
+
+        # Runtime fallback: if weights drift to where the bound could
+        # underflow fp32, silently use the online kernel instead.
+        return jax.lax.cond(
+            jnp.max(c) < BOUND_SAFE_MAX, take_bound, take_online,
+            q4, k, v, ld2, c,
+        )
+    if softmax_mode != "online":
+        raise ValueError(f"unknown softmax_mode {softmax_mode!r}")
+    return _fwd(
+        q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, block_sizes, interpret
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
 def _tree_attention(
     q4,
     k,
@@ -502,17 +710,22 @@ def _tree_attention(
     scale,
     block_sizes,
     interpret,
+    softmax_mode,
 ):
-    o, _ = _fwd(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, block_sizes, interpret)
+    o, _ = _fwd_dispatch(
+        q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, block_sizes,
+        interpret, softmax_mode,
+    )
     return o
 
 
 def _tree_attention_fwd(
     q4, k, v, ld2, kv_ids, kv_counts, kv_types, q_ids, q_counts, q_types,
-    scale, block_sizes, interpret,
+    scale, block_sizes, interpret, softmax_mode,
 ):
-    o, lse = _fwd(
-        q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, block_sizes, interpret
+    o, lse = _fwd_dispatch(
+        q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, block_sizes,
+        interpret, softmax_mode,
     )
     # named so a `save_only_these_names` remat policy can keep (o, lse) and
     # DCE the forward kernel out of the backward recompute — the kernel then
@@ -526,7 +739,7 @@ def _tree_attention_fwd(
     return o, res
 
 
-def _tree_attention_bwd(scale, block_sizes, interpret, res, do):
+def _tree_attention_bwd(scale, block_sizes, interpret, softmax_mode, res, do):
     (q4, k, v, ld2, kv_ids, kv_counts, kv_types, q_ids, q_counts, q_types, o, lse) = res
     di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [hkv,g,n]
     dq = _bwd_dq(
@@ -561,8 +774,31 @@ def tree_attention(
     scale: float | None = None,
     block_sizes: BlockSizes = BlockSizes(),
     interpret: bool = False,
+    softmax_mode: str = "online",
 ) -> jnp.ndarray:
-    """Tree-masked flash attention over a packed DFS trie layout."""
+    """Tree-masked flash attention over a packed DFS trie layout.
+
+    softmax_mode:
+
+    * ``"online"`` (default, safe for any inputs) — classic flash-attention
+      running max/sum with per-block accumulator rescale.
+    * ``"bound"`` — shift by the per-row Cauchy-Schwarz bound
+      ``C = scale*||q_row||*max||k||`` computed outside the kernel instead of
+      tracking a running max; removes the whole online-softmax VPU chain
+      (max reductions, second exp, accumulator rescale), the forward kernel's
+      bottleneck (docs/PERF.md; measured 23% faster fwd at 0.6B shapes).
+      Exact same math — softmax is shift-invariant — but ``exp(st - C)``
+      underflows fp32 if the bound overshoots the true row max by >~85
+      e-folds. Slack is bounded by ``2*max(C)`` (scores also satisfy
+      ``st >= -C``), so the dispatch guards with a runtime
+      ``lax.cond(max(C) < BOUND_SAFE_MAX=40, bound, online)`` — provably
+      full-precision when taken, silent online fallback otherwise. With
+      qk-norm (all Qwen3 variants) ``C <= sqrt(dh)*max|g_q|*max|g_k|``
+      (~22 at dh=128, gains ~1.4), so the fast path engages; without qk-norm
+      (Llama/Qwen2.5) score magnitudes are unbounded and ``"online"`` avoids
+      compiling the second kernel. Engine-level ``fwd_softmax="auto"`` picks
+      per model config.
+    """
     hq, n, dh = q.shape
     hkv = k.shape[0]
     if hq % hkv:
@@ -588,6 +824,7 @@ def tree_attention(
         float(scale),
         block_sizes,
         bool(interpret),
+        str(softmax_mode),
     )
     return o.reshape(hq, n, dh)
 

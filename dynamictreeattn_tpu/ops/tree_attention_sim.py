@@ -30,6 +30,7 @@ def tree_attention_blocked_sim(
     last_desc: np.ndarray,  # HOST numpy [n]
     meta,  # tries.BlockMeta (host numpy)
     scale: float | None = None,
+    softmax_mode: str = "online",
 ) -> jnp.ndarray:
     hq, n, dh = q.shape
     hkv = k.shape[0]
@@ -39,6 +40,15 @@ def tree_attention_blocked_sim(
         scale = dh**-0.5
     q4 = q.reshape(hkv, group, n, dh)
     ld = np.asarray(last_desc)
+
+    if softmax_mode == "bound":
+        # mirrors _fwd_bound_kernel: fixed per-row Cauchy-Schwarz shift,
+        # no running max / rescale
+        from dynamictreeattn_tpu.ops.tree_attention import _score_bound
+
+        bound = _score_bound(q4, k, scale)[..., None]  # [hkv, group, n, 1]
+    elif softmax_mode != "online":
+        raise ValueError(f"unknown softmax_mode {softmax_mode!r}")
 
     out = jnp.zeros((hkv, group, n, dh), jnp.float32)
     for i in range(meta.n_q_blocks):
@@ -61,6 +71,11 @@ def tree_attention_blocked_sim(
                 col_pos = j * bkv + np.arange(bkv)[None, :]
                 mask = (col_pos <= row_pos) & (row_pos <= ld[cols][None, :])
                 st = st + jnp.where(jnp.asarray(mask)[None, None], 0.0, MASK_VALUE)
+            if softmax_mode == "bound":
+                p = jnp.exp(st - bound[:, :, rows])
+                l = l + jnp.sum(p, axis=-1, keepdims=True)
+                acc = acc + jnp.einsum("hgqk,hkd->hgqd", p.astype(v.dtype), vb)
+                continue
             m_cur = jnp.max(st, axis=-1, keepdims=True)
             m_next = jnp.maximum(m, m_cur)
             alpha = jnp.exp(m - m_next)

@@ -88,6 +88,24 @@ for a, b, name in zip(gk, gr, ["dq", "dk", "dv"]):
               / (1e-9 + jnp.linalg.norm(b.astype(jnp.float32))))
     print(f"{name}: max abs err {e:.5f}  rel fro {r:.5f}")
 
+# bound-shift softmax mode: fast path exactness + guard fallback
+@jax.jit
+def run_fwd_bound(q, k, v):
+    return tree_attention(q, k, v, ld, *margs, block_sizes=bs,
+                          softmax_mode="bound")
+
+
+ob = run_fwd_bound(q, k, v)
+err = jnp.max(jnp.abs(ob.astype(jnp.float32) - ref.astype(jnp.float32)))
+print("fwd[bound] max abs err vs ref (bf16):", float(err))
+# 30x inputs push max(C) past BOUND_SAFE_MAX: cond must take the online kernel
+qb, kb = q.astype(jnp.float32) * 30, k.astype(jnp.float32) * 30
+og = run_fwd_bound(qb.astype(dtype), kb.astype(dtype), v)
+refg = tree_attention_reference(qb.astype(dtype), kb.astype(dtype), v, ld)
+err = jnp.max(jnp.abs(og.astype(jnp.float32) - refg.astype(jnp.float32)))
+print("fwd[bound, guard-fallback] max abs err vs ref:", float(err))
+assert float(err) < 0.1
+
 # timing
 for fn, nm in [(run_fwd, "fwd"), (run_grads, "fwd+bwd")]:
     ts = []

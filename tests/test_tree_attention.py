@@ -82,6 +82,113 @@ def test_sim_backward_matches_reference():
         )
 
 
+@pytest.mark.parametrize("seed", [0, 1])
+def test_sim_bound_softmax_matches_reference(seed):
+    """Bound-shift mode (fixed Cauchy-Schwarz shift, no online max) — same
+    math as online up to fp rounding; the engine uses it for qk-norm models."""
+    rng = np.random.default_rng(seed)
+    block, n, dh = 32, 256, 32
+    hq, hkv = 4, 2
+    _, _, packed, meta = random_packed(rng, n, block, n_seqs=20, max_len=60)
+    key = jax.random.key(100 + seed)
+    kq, kk, kv_, kc = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (hq, n, dh), dtype=jnp.float32)
+    k = jax.random.normal(kk, (hkv, n, dh), dtype=jnp.float32)
+    v = jax.random.normal(kv_, (hkv, n, dh), dtype=jnp.float32)
+    cot = jax.random.normal(kc, (hq, n, dh), dtype=jnp.float32)
+    ld = jnp.asarray(packed.last_desc)
+
+    out = tree_attention_blocked_sim(
+        q, k, v, packed.last_desc, meta, softmax_mode="bound"
+    )
+    ref = tree_attention_reference(q, k, v, ld)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def f_sim(q, k, v):
+        return jnp.sum(
+            tree_attention_blocked_sim(
+                q, k, v, packed.last_desc, meta, softmax_mode="bound"
+            )
+            * cot
+        )
+
+    def f_ref(q, k, v):
+        return jnp.sum(tree_attention_reference(q, k, v, ld) * cot)
+
+    gk = jax.grad(f_sim, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gk, gr, ["dq", "dk", "dv"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-5, err_msg=name
+        )
+
+
+def test_bound_shift_margin_qk_normed():
+    """The bound is sound (>= every score) and, at qk-norm score magnitudes,
+    its slack over the true row max stays within the full-precision window
+    the dispatch guard (BOUND_SAFE_MAX) certifies."""
+    from dynamictreeattn_tpu.ops.tree_attention import (
+        BOUND_SAFE_MAX,
+        _score_bound,
+    )
+
+    rng = np.random.default_rng(7)
+    dh, n = 128, 512
+    scale = dh**-0.5
+    for gain in (1.0, 2.0, 4.0):
+        q = rng.standard_normal((1, 1, n, dh)).astype(np.float32)
+        q = q / np.linalg.norm(q, axis=-1, keepdims=True) * np.sqrt(dh) * gain
+        k = rng.standard_normal((1, n, dh)).astype(np.float32)
+        k = k / np.linalg.norm(k, axis=-1, keepdims=True) * np.sqrt(dh) * gain
+        st = np.einsum("hgqd,hkd->hgqk", q, k) * scale
+        bound = np.asarray(_score_bound(jnp.asarray(q), jnp.asarray(k), scale))
+        # soundness at any gain
+        assert (bound[..., None] >= st - 1e-4).all()
+        # slack <= 2*max(C): the invariant the runtime guard relies on
+        slack = bound - st.max(axis=-1)
+        assert slack.max() <= 2 * bound.max() + 1e-4
+        if gain <= 1.5:
+            # realistic qk-norm gains: guard engages and precision is certified
+            assert bound.max() < BOUND_SAFE_MAX, bound.max()
+            assert slack.max() < 2 * BOUND_SAFE_MAX
+        if gain >= 4.0:
+            # drifted gains: guard must refuse the bound path
+            assert bound.max() >= BOUND_SAFE_MAX
+
+
+def test_bound_guard_falls_back_when_unsafe():
+    """softmax_mode="bound" with large-magnitude scores must still be exact:
+    the lax.cond guard routes to the online path (sim mirror + dispatch on
+    CPU jit; real-kernel check in scripts/tpu_kernel_check.py)."""
+    from dynamictreeattn_tpu.ops.tree_attention import (
+        BOUND_SAFE_MAX,
+        _score_bound,
+    )
+
+    rng = np.random.default_rng(11)
+    block, n, dh = 32, 128, 32
+    hq, hkv = 2, 1
+    _, _, packed, meta = random_packed(rng, n, block, n_seqs=8, max_len=40)
+    key = jax.random.key(5)
+    kq, kk, kv_ = jax.random.split(key, 3)
+    # 20x-scaled inputs: C >> BOUND_SAFE_MAX, unguarded bound path underflows
+    q = jax.random.normal(kq, (hq, n, dh), dtype=jnp.float32) * 20.0
+    k = jax.random.normal(kk, (hkv, n, dh), dtype=jnp.float32) * 20.0
+    v = jax.random.normal(kv_, (hkv, n, dh), dtype=jnp.float32)
+    ld = jnp.asarray(packed.last_desc)
+
+    q4 = q.reshape(hkv, hq // hkv, n, dh)
+    c = _score_bound(q4, k, dh**-0.5)
+    assert float(jnp.max(c)) >= BOUND_SAFE_MAX  # guard must trip
+
+    # the unguarded sim path really does underflow here...
+    raw = tree_attention_blocked_sim(
+        q, k, v, packed.last_desc, meta, softmax_mode="bound"
+    )
+    ref = tree_attention_reference(q, k, v, ld)
+    assert not np.allclose(np.asarray(raw), np.asarray(ref), atol=1e-2)
+
+
 def test_sim_dense_chain_equals_causal():
     """A forest of chains (the dense baseline layout) == causal attention per
     chain — sanity for using the same engine as the dense baseline."""
