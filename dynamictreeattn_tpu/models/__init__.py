@@ -15,7 +15,7 @@ from dynamictreeattn_tpu.models.qwen3 import (
     logits_from_hidden,
 )
 
-from dynamictreeattn_tpu.models.generate import generate, init_cache
+from dynamictreeattn_tpu.models.generate import generate, generate_grouped, init_cache
 
 __all__ = [
     "Qwen3Config",
@@ -26,5 +26,6 @@ __all__ = [
     "moe_apply",
     "logits_from_hidden",
     "generate",
+    "generate_grouped",
     "init_cache",
 ]

@@ -28,7 +28,7 @@ from dynamictreeattn_tpu.models.qwen3 import (
     rope_tables,
 )
 
-__all__ = ["init_cache", "forward_step", "generate"]
+__all__ = ["init_cache", "forward_step", "generate", "generate_grouped"]
 
 NEG = -1e30
 
@@ -81,9 +81,12 @@ def _layer_step(x, lp, cos, sin, ck, cv, start, config: Qwen3Config,
     cv = jax.lax.dynamic_update_slice(cv, v.transpose(1, 0, 2).astype(cv.dtype),
                                       (0, start, 0))
 
+    # bf16 matmul operands with fp32 accumulation (MXU-native; casting the
+    # cache to fp32 would halve matmul rate and double its HBM traffic —
+    # decode is KV-read-bound)
     qh = q.transpose(1, 0, 2).reshape(hkv, grp, T, dh)  # [Hkv, grp, T, dh]
     st = jnp.einsum(
-        "hgtd,hjd->hgtj", qh.astype(jnp.float32), ck.astype(jnp.float32),
+        "hgtd,hjd->hgtj", qh.astype(ck.dtype), ck,
         preferred_element_type=jnp.float32,
     ) * (dh ** -0.5)
     col = jnp.arange(Lmax)[None, None, None, :]
@@ -91,7 +94,7 @@ def _layer_step(x, lp, cos, sin, ck, cv, start, config: Qwen3Config,
     st = jnp.where(col <= row, st, NEG)
     p = jax.nn.softmax(st, axis=-1)
     o = jnp.einsum(
-        "hgtj,hjd->hgtd", p, cv.astype(jnp.float32),
+        "hgtj,hjd->hgtd", p.astype(cv.dtype), cv,
         preferred_element_type=jnp.float32,
     )
     o = o.transpose(2, 0, 1, 3).reshape(T, hq * dh).astype(x.dtype)
@@ -107,10 +110,13 @@ def _layer_step(x, lp, cos, sin, ck, cv, start, config: Qwen3Config,
     return x, ck, cv
 
 
-def forward_step(params, config: Qwen3Config, tokens, positions, cache_k,
-                 cache_v, start, valid=None):
-    """T tokens of one sequence through all layers. tokens/positions [T];
-    cache_k/v [L, Hkv, Lmax, dh]; returns (logits [T, V] fp32, ck, cv).
+def forward_hidden_cached(params, config: Qwen3Config, tokens, positions,
+                          cache_k, cache_v, start, valid=None):
+    """T tokens of one sequence through all layers, cache updated — WITHOUT
+    the LM head. tokens/positions [T]; cache_k/v [L, Hkv, Lmax, dh]; returns
+    (hidden [T, d] post-final-norm, ck, cv). Prefill uses this directly:
+    materializing [T, V] logits for every prompt position would cost
+    O(B·Lp·V) memory/FLOPs when only the last position is ever sampled.
     `valid` ([T] 0/1, optional): real-token mask for ragged prefill (MoE
     routing ignores padding)."""
     c = config
@@ -126,9 +132,21 @@ def forward_step(params, config: Qwen3Config, tokens, positions, cache_k,
     x, (cks, cvs) = jax.lax.scan(
         scan_fn, x, (params["layers"], cache_k, cache_v)
     )
-    hidden = rms_norm(x, params["final_norm"], c.rms_norm_eps)
+    return rms_norm(x, params["final_norm"], c.rms_norm_eps), cks, cvs
+
+
+def forward_step(params, config: Qwen3Config, tokens, positions, cache_k,
+                 cache_v, start, valid=None):
+    """T tokens of one sequence through all layers. tokens/positions [T];
+    cache_k/v [L, Hkv, Lmax, dh]; returns (logits [T, V] fp32, ck, cv).
+    `valid` ([T] 0/1, optional): real-token mask for ragged prefill (MoE
+    routing ignores padding)."""
+    hidden, cks, cvs = forward_hidden_cached(
+        params, config, tokens, positions, cache_k, cache_v, start, valid
+    )
     logits = jnp.dot(
-        hidden, lm_head_weight(params, c), preferred_element_type=jnp.float32
+        hidden, lm_head_weight(params, config),
+        preferred_element_type=jnp.float32,
     )
     return logits, cks, cvs
 
@@ -153,20 +171,31 @@ def _generate_jit(params, config, prompts, prompt_lens, key, max_new,
         ),
         in_axes=(0, 0, 1, 1, 0, 0), out_axes=(0, 1, 1),
     )
+    hidden_b = jax.vmap(
+        lambda tok, pos, ck, cv, st, vl: forward_hidden_cached(
+            params, c, tok, pos, ck, cv, st, vl
+        ),
+        in_axes=(0, 0, 1, 1, 0, 0), out_axes=(0, 1, 1),
+    )
 
     # ---- prefill: all prompt rows at once (padding rows write garbage cache
     # slots past each row's length; decode overwrites them before any
     # attention ever reads them). The valid mask keeps those padding tokens
-    # out of MoE expert capacity / router statistics (ADVICE r1)
+    # out of MoE expert capacity / router statistics (ADVICE r1). The LM
+    # head runs only on each row's last hidden state — full [B, Lp, V]
+    # prefill logits would dominate prefill FLOPs and OOM at real vocab
     pos = jnp.broadcast_to(jnp.arange(Lp)[None, :], (B, Lp))
     pre_valid = (pos < prompt_lens[:, None]).astype(jnp.int32)
-    logits, ck, cv = step_b(
+    hidden, ck, cv = hidden_b(
         prompts, pos, cache["k"], cache["v"], jnp.zeros((B,), jnp.int32),
         pre_valid,
     )
-    last = jnp.take_along_axis(
-        logits, (prompt_lens - 1)[:, None, None], axis=1
-    )[:, 0]  # [B, V]
+    last_h = jnp.take_along_axis(
+        hidden, (prompt_lens - 1)[:, None, None], axis=1
+    )[:, 0]  # [B, d]
+    last = jnp.dot(
+        last_h, lm_head_weight(params, c), preferred_element_type=jnp.float32
+    )  # [B, V]
 
     def sample(lg, k):
         if greedy:
@@ -202,6 +231,227 @@ def _generate_jit(params, config, prompts, prompt_lens, key, max_new,
         decode, (tok0, done0, ck, cv, key), jnp.arange(max_new)
     )
     return toks.T  # [B, max_new]
+
+
+# --------------------------------------------------------- grouped generation
+#
+# GRPO-style rollouts sample G completions per prompt. The flat sampler
+# duplicates each prompt G times: G× prefill FLOPs, G× prompt-KV memory, and
+# — decode being KV-read-bound — G× HBM reads of identical prompt KV every
+# step. Grouped generation prefers the rollout-side mirror of the training
+# trie: prefill each prompt ONCE into a frozen shared cache, then decode G
+# branches per prompt that attend to (shared prompt KV) ⊕ (their own
+# completion KV). The prompt-side attention becomes an einsum with G on the
+# rhs batch dim, so XLA streams each prompt's KV from HBM once per step
+# instead of G times.
+
+
+def _layer_step_grouped(x, lp, cos, sin, ckp, cvp, ckc, cvc, t, plen,
+                        config: Qwen3Config):
+    """One layer, one decode token for each of G branches of ONE prompt.
+
+    x [G, d]; ckp/cvp [Hkv, Lp, dh] — frozen shared prompt cache; ckc/cvc
+    [G, Hkv, Nc, dh] — per-branch completion cache, new k/v written at slot
+    t (rope position plen + t). Branches never attend to each other — only
+    to the shared prompt prefix (cols < plen) and their own completion
+    cache (slots <= t). Same norms/rope/GQA/MoE math as _layer_step."""
+    c = config
+    G, d = x.shape
+    dh = c.head_dim
+    hq, hkv = c.num_attention_heads, c.num_key_value_heads
+    grp = hq // hkv
+    eps = c.rms_norm_eps
+    Lp = ckp.shape[1]
+    Nc = ckc.shape[2]
+
+    h = rms_norm(x, lp["ln1"], eps)
+    q = h @ lp["wq"]
+    k = h @ lp["wk"]
+    v = h @ lp["wv"]
+    if c.attention_bias:
+        q = q + lp["bq"]
+        k = k + lp["bk"]
+        v = v + lp["bv"]
+    q = q.reshape(G, hq, dh)
+    k = k.reshape(G, hkv, dh)
+    v = v.reshape(G, hkv, dh)
+    if c.use_qk_norm:
+        q = rms_norm(q, lp["q_norm"], eps)
+        k = rms_norm(k, lp["k_norm"], eps)
+    q = apply_rope(q, cos, sin)  # cos/sin [1, dh]: all branches share pos
+    k = apply_rope(k, cos, sin)
+
+    ckc = jax.lax.dynamic_update_slice(
+        ckc, k[:, :, None, :].astype(ckc.dtype), (0, 0, t, 0)
+    )
+    cvc = jax.lax.dynamic_update_slice(
+        cvc, v[:, :, None, :].astype(cvc.dtype), (0, 0, t, 0)
+    )
+
+    # bf16 matmul operands, fp32 accumulation (see _layer_step note)
+    qh = q.reshape(G, hkv, grp, dh).astype(ckp.dtype)
+    scale = dh ** -0.5
+    # shared-prompt scores: ckp has no G axis — read once, batched over G·grp
+    st_p = jnp.einsum(
+        "gkrd,kjd->gkrj", qh, ckp,
+        preferred_element_type=jnp.float32,
+    ) * scale  # [G, hkv, grp, Lp]
+    st_p = jnp.where(jnp.arange(Lp)[None, None, None, :] < plen, st_p, NEG)
+    st_c = jnp.einsum(
+        "gkrd,gkjd->gkrj", qh, ckc,
+        preferred_element_type=jnp.float32,
+    ) * scale  # [G, hkv, grp, Nc]
+    st_c = jnp.where(jnp.arange(Nc)[None, None, None, :] <= t, st_c, NEG)
+    p = jax.nn.softmax(jnp.concatenate([st_p, st_c], axis=-1), axis=-1)
+    pp, pc = p[..., :Lp].astype(cvp.dtype), p[..., Lp:].astype(cvc.dtype)
+    o = jnp.einsum(
+        "gkrj,kjd->gkrd", pp, cvp,
+        preferred_element_type=jnp.float32,
+    ) + jnp.einsum(
+        "gkrj,gkjd->gkrd", pc, cvc,
+        preferred_element_type=jnp.float32,
+    )
+    o = o.reshape(G, hq * dh).astype(x.dtype)
+    x = x + o @ lp["wo"]
+
+    h = rms_norm(x, lp["ln2"], eps)
+    if c.is_moe:
+        # route each branch token alone ([1, d]) so capacity semantics match
+        # the flat per-row decode exactly (cap >= k: nothing ever drops)
+        y, _lb = jax.vmap(lambda hr: _moe_block(hr[None], lp, c, None))(h)
+        x = x + y[:, 0].astype(x.dtype)
+        return x, ckc, cvc
+    act = jax.nn.silu((h @ lp["gate"]).astype(jnp.float32)).astype(h.dtype)
+    x = x + (act * (h @ lp["up"])) @ lp["down"]
+    return x, ckc, cvc
+
+
+def _decode_step_grouped(params, c: Qwen3Config, tok, plens, t, ckp, cvp,
+                         ckc, cvc):
+    """One decode token for all [P, G] branches. tok [P, G]; ckp/cvp
+    [L, P, Hkv, Lp, dh] frozen; ckc/cvc [L, P, G, Hkv, Nc, dh] updated at
+    slot t. Returns (logits [P, G, V] fp32, ckc, cvc)."""
+    x = jnp.take(params["embed"], tok, axis=0)  # [P, G, d]
+    cos, sin = rope_tables(plens + t, c.head_dim, c.rope_theta,
+                           c.rope_scaling_tuple)  # [P, dh]
+
+    def scan_fn(x, inp):
+        lp, kp, vp, kc, vc = inp
+
+        def per_prompt(xg, cosg, sing, plen, kp1, vp1, kc1, vc1):
+            return _layer_step_grouped(
+                xg, lp, cosg[None], sing[None], kp1, vp1, kc1, vc1, t, plen, c
+            )
+
+        x, kc, vc = jax.vmap(per_prompt)(x, cos, sin, plens, kp, vp, kc, vc)
+        return x, (kc, vc)
+
+    x, (kcs, vcs) = jax.lax.scan(
+        scan_fn, x, (params["layers"], ckp, cvp, ckc, cvc)
+    )
+    hidden = rms_norm(x, params["final_norm"], c.rms_norm_eps)
+    logits = jnp.dot(
+        hidden, lm_head_weight(params, c), preferred_element_type=jnp.float32
+    )
+    return logits, kcs, vcs
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("config", "group", "max_new", "greedy", "use_eos"),
+)
+def _generate_grouped_jit(params, config, prompts, prompt_lens, key, group,
+                          max_new, temperature, greedy, use_eos, eos_id):
+    P, Lp = prompts.shape
+    G = group
+    c = config
+    dtype = params["layers"]["wq"].dtype
+
+    # ---- prefill each prompt ONCE (cache sized to the prompt only); LM
+    # head only on the last hidden state per prompt
+    cache = init_cache(c, P, Lp, dtype)
+    hidden_b = jax.vmap(
+        lambda tok, pos, ck, cv, st, vl: forward_hidden_cached(
+            params, c, tok, pos, ck, cv, st, vl
+        ),
+        in_axes=(0, 0, 1, 1, 0, 0), out_axes=(0, 1, 1),
+    )
+    pos = jnp.broadcast_to(jnp.arange(Lp)[None, :], (P, Lp))
+    pre_valid = (pos < prompt_lens[:, None]).astype(jnp.int32)
+    hidden, ckp, cvp = hidden_b(
+        prompts, pos, cache["k"], cache["v"], jnp.zeros((P,), jnp.int32),
+        pre_valid,
+    )
+    last_h = jnp.take_along_axis(
+        hidden, (prompt_lens - 1)[:, None, None], axis=1
+    )[:, 0]  # [P, d]
+    last = jnp.dot(
+        last_h, lm_head_weight(params, c), preferred_element_type=jnp.float32
+    )  # [P, V]
+
+    def sample(lg, k):
+        # lg [..., V] — categorical samples independently per leading dim
+        if greedy:
+            return jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        return jax.random.categorical(k, lg / temperature, axis=-1).astype(
+            jnp.int32
+        )
+
+    key, k0 = jax.random.split(key)
+    tok0 = sample(jnp.broadcast_to(last[:, None, :], (P, G, last.shape[-1])),
+                  k0)  # [P, G]
+
+    ckc = jnp.zeros(
+        (c.num_hidden_layers, P, G, c.num_key_value_heads, max_new,
+         c.head_dim), dtype,
+    )
+    cvc = jnp.zeros_like(ckc)
+
+    def decode(carry, t):
+        tok, done, ckc, cvc, key = carry
+        logits, ckc, cvc = _decode_step_grouped(
+            params, c, tok, prompt_lens, t, ckp, cvp, ckc, cvc
+        )
+        key, kt = jax.random.split(key)
+        nxt = sample(logits, kt)
+        if use_eos:
+            done_next = done | (tok == eos_id)
+            nxt = jnp.where(done_next, eos_id.astype(jnp.int32), nxt)
+        else:
+            done_next = done
+        return (nxt, done_next, ckc, cvc, key), tok
+
+    done0 = jnp.zeros((P, G), bool)
+    (_, _, _, _, _), toks = jax.lax.scan(
+        decode, (tok0, done0, ckc, cvc, key), jnp.arange(max_new)
+    )
+    return jnp.transpose(toks, (1, 2, 0))  # [P, G, max_new]
+
+
+def generate_grouped(params, config: Qwen3Config, prompts, prompt_lens,
+                     group: int, max_new: int, key=None,
+                     temperature: float = 1.0, greedy: bool = False,
+                     eos_id: int | None = None):
+    """Sample `group` completions per prompt with a SHARED prompt KV cache.
+
+    prompts [P, Lp] int32 (right-padded), prompt_lens [P] — returns
+    [P, group, max_new] int32. Each prompt is prefilled once; its `group`
+    branches decode against the frozen shared prompt KV plus their own
+    completion cache. Token-for-token equivalent to `generate` on the
+    G-times-duplicated prompt batch (greedy-parity-tested), at 1/G of the
+    prefill compute and prompt-KV footprint — the rollout-side mirror of the
+    tree-training engine's prefix sharing. With `eos_id`, tokens after a
+    sampled eos are forced to eos (truncate host-side)."""
+    import numpy as np
+
+    if key is None:
+        key = jax.random.key(0)
+    return np.asarray(_generate_grouped_jit(
+        params, config, jnp.asarray(prompts, jnp.int32),
+        jnp.asarray(prompt_lens, jnp.int32), key, int(group), int(max_new),
+        jnp.float32(temperature), bool(greedy),
+        eos_id is not None, jnp.int32(eos_id if eos_id is not None else 0),
+    ))
 
 
 def generate(params, config: Qwen3Config, prompts, prompt_lens, max_new: int,

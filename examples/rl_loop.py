@@ -53,7 +53,11 @@ def main(argv=None):
     import optax
 
     from dynamictreeattn_tpu.cli.common import build_engine
-    from dynamictreeattn_tpu.models import MODEL_CONFIGS, generate, init_params
+    from dynamictreeattn_tpu.models import (
+        MODEL_CONFIGS,
+        generate_grouped,
+        init_params,
+    )
     from dynamictreeattn_tpu.tries import TokenTrie
 
     mc = MODEL_CONFIGS[args.model]
@@ -72,13 +76,18 @@ def main(argv=None):
 
     history = []
     for it in range(args.iters):
-        # ---- rollout: G samples per prompt (shared-prompt trie structure)
+        # ---- rollout: G samples per prompt with a SHARED prompt KV cache
+        # (generate_grouped prefills each prompt once and decodes G branches
+        # against the frozen shared prefix — the rollout-side mirror of the
+        # tree engine's prefix sharing)
         B = args.n_prompts * args.samples
-        prompt_rows = np.repeat(prompts, args.samples, axis=0)
-        lens = np.full((B,), args.prompt_len, np.int32)
+        lens = np.full((args.n_prompts,), args.prompt_len, np.int32)
         key, kgen = jax.random.split(key)
-        gen = generate(params, mc, prompt_rows, lens, args.max_new,
-                       key=kgen, temperature=args.rollout_temp)
+        gen = generate_grouped(
+            params, mc, prompts, lens, args.samples, args.max_new,
+            key=kgen, temperature=args.rollout_temp,
+        ).reshape(B, args.max_new)
+        prompt_rows = np.repeat(prompts, args.samples, axis=0)
         seqs = [np.concatenate([prompt_rows[b], gen[b]]).astype(np.int32)
                 for b in range(B)]
         attachs = [

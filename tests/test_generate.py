@@ -120,3 +120,93 @@ def test_generate_shards_over_data_axis():
     l_sh = jax.device_put(lens, NamedSharding(mesh, P("data")))
     out = generate(params, cfg, p_sh, l_sh, 6, greedy=True)
     np.testing.assert_array_equal(out, ref)
+
+
+# ---------------------------------------------------------- grouped sampling
+
+
+@pytest.mark.parametrize("name", ["qwen3-tiny", "llama-tiny", "qwen3-moe-tiny"])
+def test_grouped_greedy_matches_flat(name):
+    """generate_grouped must be token-for-token the flat sampler on the
+    duplicated-prompt batch: greedy makes all G branches identical and equal
+    to the flat row (covers qk-norm, no-qk-norm, and MoE routing parity)."""
+    from dynamictreeattn_tpu.models.generate import generate_grouped
+
+    cfg = MODEL_CONFIGS[name]
+    params = init_params(cfg, jax.random.key(11), dtype=jnp.float32)
+    rng = np.random.default_rng(8)
+    lens = np.array([9, 6], np.int32)  # ragged: padding slots must stay masked
+    Lp = int(lens.max())
+    prompts = np.zeros((2, Lp), np.int32)
+    for b, L in enumerate(lens):
+        prompts[b, :L] = rng.integers(1, cfg.vocab_size, size=L)
+
+    max_new, G = 7, 3
+    flat = generate(params, cfg, prompts, lens, max_new, greedy=True)
+    grouped = generate_grouped(params, cfg, prompts, lens, G, max_new,
+                               greedy=True)
+    assert grouped.shape == (2, G, max_new)
+    for p in range(2):
+        for g in range(G):
+            np.testing.assert_array_equal(grouped[p, g], flat[p], err_msg=name)
+
+
+def test_grouped_eos_forces_tail():
+    from dynamictreeattn_tpu.models.generate import generate_grouped
+
+    cfg = MODEL_CONFIGS["qwen3-tiny"]
+    params = init_params(cfg, jax.random.key(12), dtype=jnp.float32)
+    rng = np.random.default_rng(9)
+    prompts = rng.integers(1, cfg.vocab_size, size=(2, 8)).astype(np.int32)
+    lens = np.full((2,), 8, np.int32)
+    free = generate_grouped(params, cfg, prompts, lens, 4, 10,
+                            key=jax.random.key(0), temperature=1.0)
+    eos = int(free[0, 0, 2])
+    out = generate_grouped(params, cfg, prompts, lens, 4, 10,
+                           key=jax.random.key(0), temperature=1.0, eos_id=eos)
+    for p in range(2):
+        for g in range(4):
+            hits = np.nonzero(out[p, g] == eos)[0]
+            if len(hits):
+                assert np.all(out[p, g, hits[0]:] == eos), out[p, g]
+
+
+def test_grouped_sampling_branches_diverge():
+    """Temperature sampling must draw independent tokens per branch (the
+    whole point of G samples per prompt)."""
+    from dynamictreeattn_tpu.models.generate import generate_grouped
+
+    cfg = MODEL_CONFIGS["qwen3-tiny"]
+    params = init_params(cfg, jax.random.key(13), dtype=jnp.float32)
+    rng = np.random.default_rng(10)
+    prompts = rng.integers(1, cfg.vocab_size, size=(1, 8)).astype(np.int32)
+    lens = np.full((1,), 8, np.int32)
+    out = generate_grouped(params, cfg, prompts, lens, 8, 12,
+                           key=jax.random.key(1), temperature=1.0)
+    rows = {tuple(out[0, g]) for g in range(8)}
+    assert len(rows) > 1  # astronomically unlikely to collide at temp 1.0
+
+
+def test_grouped_generate_shards_over_data_axis():
+    """Prompt rows sharded over "data": GSPMD partitions the grouped sampler
+    (prompt cache [L, P, ...] and branch caches [L, P, G, ...] both shard on
+    P) — results identical to the unsharded run."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from dynamictreeattn_tpu.models.generate import generate_grouped
+    from dynamictreeattn_tpu.parallel import make_mesh
+
+    cfg = MODEL_CONFIGS["qwen3-tiny"]
+    params = init_params(cfg, jax.random.key(14), dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    Pn, Lp = 8, 8
+    prompts = rng.integers(1, cfg.vocab_size, size=(Pn, Lp)).astype(np.int32)
+    lens = np.full((Pn,), Lp, np.int32)
+
+    ref = generate_grouped(params, cfg, prompts, lens, 2, 6, greedy=True)
+
+    mesh = make_mesh(dp=8)
+    p_sh = jax.device_put(prompts, NamedSharding(mesh, P("data", None)))
+    l_sh = jax.device_put(lens, NamedSharding(mesh, P("data")))
+    out = generate_grouped(params, cfg, p_sh, l_sh, 2, 6, greedy=True)
+    np.testing.assert_array_equal(out, ref)
