@@ -110,6 +110,107 @@ def _layer_step(x, lp, cos, sin, ck, cv, start, config: Qwen3Config,
     return x, ck, cv
 
 
+def _layer_step_decode(x, lp, cos, sin, ck, cv, plen, lp0, t,
+                       config: Qwen3Config):
+    """One layer, one decode token of ONE sequence, cache READ-ONLY.
+
+    x [d]; ck/cv [Hkv, Lmax, dh]. The row's prompt lives in slots
+    [0, plen); its completion in slots [lp0, lp0+t) (lp0 = padded prompt
+    width — slots [plen, lp0) are dead padding, always masked); the current
+    token enters via an explicit self column and its (k, v) is returned for
+    the caller to write at slot lp0+t once per step (writing inside the
+    layer scan made XLA copy the whole cache per layer). Same math as
+    _layer_step at T=1."""
+    c = config
+    d = x.shape[0]
+    dh = c.head_dim
+    hq, hkv = c.num_attention_heads, c.num_key_value_heads
+    grp = hq // hkv
+    eps = c.rms_norm_eps
+    Lmax = ck.shape[1]
+
+    h = rms_norm(x, lp["ln1"], eps)
+    q = h @ lp["wq"]
+    k = h @ lp["wk"]
+    v = h @ lp["wv"]
+    if c.attention_bias:
+        q = q + lp["bq"]
+        k = k + lp["bk"]
+        v = v + lp["bv"]
+    q = q.reshape(hq, dh)
+    k = k.reshape(hkv, dh)
+    v = v.reshape(hkv, dh)
+    if c.use_qk_norm:
+        q = rms_norm(q, lp["q_norm"], eps)
+        k = rms_norm(k, lp["k_norm"], eps)
+    q = apply_rope(q[None], cos[None], sin[None])[0]
+    k = apply_rope(k[None], cos[None], sin[None])[0]
+
+    qh = q.reshape(hkv, grp, dh).astype(ck.dtype)
+    scale = dh ** -0.5
+    st = jnp.einsum(
+        "krd,kjd->krj", qh, ck, preferred_element_type=jnp.float32
+    ) * scale  # [hkv, grp, Lmax]
+    col = jnp.arange(Lmax)[None, None, :]
+    visible = (col < plen) | ((col >= lp0) & (col < lp0 + t))
+    st = jnp.where(visible, st, NEG)
+    st_s = jnp.sum(
+        qh.astype(jnp.float32) * k.astype(jnp.float32)[:, None, :], axis=-1
+    ) * scale  # [hkv, grp]
+    p = jax.nn.softmax(
+        jnp.concatenate([st, st_s[..., None]], axis=-1), axis=-1
+    )
+    o = jnp.einsum(
+        "krj,kjd->krd", p[..., :Lmax].astype(cv.dtype), cv,
+        preferred_element_type=jnp.float32,
+    ) + p[..., -1:] * v.astype(jnp.float32)[:, None, :]
+    o = o.reshape(hq * dh).astype(x.dtype)
+    x = x + o @ lp["wo"]
+
+    h = rms_norm(x, lp["ln2"], eps)
+    if c.is_moe:
+        y, _lb = _moe_block(h[None], lp, c, None)
+        x = x + y[0].astype(x.dtype)
+        return x, k, v
+    act = jax.nn.silu((h @ lp["gate"]).astype(jnp.float32)).astype(h.dtype)
+    x = x + (act * (h @ lp["up"])) @ lp["down"]
+    return x, k, v
+
+
+def _decode_step_flat(params, c: Qwen3Config, tok, plens, lp0, t, ck, cv):
+    """One decode token for all [B] rows. tok/plens [B]; ck/cv
+    [L, B, Hkv, Lmax, dh] — completion k/v written at the COMMON slot
+    lp0 + t (one in-place dynamic_update_slice per cache per step on the
+    decode loop's carry). Returns (logits [B, V] fp32, ck, cv)."""
+    x = jnp.take(params["embed"], tok, axis=0)  # [B, d]
+    cos, sin = rope_tables(plens + t, c.head_dim, c.rope_theta,
+                           c.rope_scaling_tuple)  # [B, dh]
+
+    def scan_fn(x, inp):
+        lp, kc, vc = inp
+        x, k_new, v_new = jax.vmap(
+            lambda xb, cb, sb, pl, kc1, vc1: _layer_step_decode(
+                xb, lp, cb, sb, kc1, vc1, pl, lp0, t, c
+            )
+        )(x, cos, sin, plens, kc, vc)
+        return x, (k_new, v_new)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        scan_fn, x, (params["layers"], ck, cv)
+    )  # k_new/v_new [L, B, Hkv, dh]
+    ck = jax.lax.dynamic_update_slice(
+        ck, k_new[:, :, :, None, :].astype(ck.dtype), (0, 0, 0, lp0 + t, 0)
+    )
+    cv = jax.lax.dynamic_update_slice(
+        cv, v_new[:, :, :, None, :].astype(cv.dtype), (0, 0, 0, lp0 + t, 0)
+    )
+    hidden = rms_norm(x, params["final_norm"], c.rms_norm_eps)
+    logits = jnp.dot(
+        hidden, lm_head_weight(params, c), preferred_element_type=jnp.float32
+    )
+    return logits, ck, cv
+
+
 def forward_hidden_cached(params, config: Qwen3Config, tokens, positions,
                           cache_k, cache_v, start, valid=None):
     """T tokens of one sequence through all layers, cache updated — WITHOUT
@@ -165,12 +266,6 @@ def _generate_jit(params, config, prompts, prompt_lens, key, max_new,
     dtype = params["layers"]["wq"].dtype
     cache = init_cache(c, B, Lp + max_new, dtype)
 
-    step_b = jax.vmap(
-        lambda tok, pos, ck, cv, st, vl: forward_step(
-            params, c, tok, pos, ck, cv, st, vl
-        ),
-        in_axes=(0, 0, 1, 1, 0, 0), out_axes=(0, 1, 1),
-    )
     hidden_b = jax.vmap(
         lambda tok, pos, ck, cv, st, vl: forward_hidden_cached(
             params, c, tok, pos, ck, cv, st, vl
@@ -208,15 +303,14 @@ def _generate_jit(params, config, prompts, prompt_lens, key, max_new,
     tok0 = sample(last, k0)
 
     def decode(carry, t):
-        # carry token sits at position prompt_lens + t (t = 0 for tok0)
+        # carry token sits at rope position prompt_lens + t (t = 0 for
+        # tok0); its k/v land at the common cache slot Lp + t
         tok, done, ck, cv, key = carry
-        pos_t = (prompt_lens + t)[:, None]
-        logits, ck, cv = step_b(
-            tok[:, None], pos_t, ck, cv, prompt_lens + t,
-            jnp.ones((B, 1), jnp.int32),
+        logits, ck, cv = _decode_step_flat(
+            params, c, tok, prompt_lens, Lp, t, ck, cv
         )
         key, kt = jax.random.split(key)
-        nxt = sample(logits[:, -1], kt)
+        nxt = sample(logits, kt)
         if use_eos:
             done_next = done | (tok == eos_id)
             nxt = jnp.where(done_next, eos_id.astype(jnp.int32), nxt)
@@ -251,10 +345,14 @@ def _layer_step_grouped(x, lp, cos, sin, ckp, cvp, ckc, cvc, t, plen,
     """One layer, one decode token for each of G branches of ONE prompt.
 
     x [G, d]; ckp/cvp [Hkv, Lp, dh] — frozen shared prompt cache; ckc/cvc
-    [G, Hkv, Nc, dh] — per-branch completion cache, new k/v written at slot
-    t (rope position plen + t). Branches never attend to each other — only
-    to the shared prompt prefix (cols < plen) and their own completion
-    cache (slots <= t). Same norms/rope/GQA/MoE math as _layer_step."""
+    [G, Hkv, Nc, dh] — per-branch completion cache, READ-ONLY here: the
+    current token's score/value enter through an explicit self column, and
+    the caller writes the returned (k, v) into slot t once per decode step
+    (writing inside the layer scan made XLA copy the full cache per layer —
+    the decode bottleneck). Branches never attend to each other — only to
+    the shared prompt prefix (cols < plen), their own past completion
+    (slots < t), and themselves. Same norms/rope/GQA/MoE math as
+    _layer_step. Returns (x, k [G, Hkv, dh], v [G, Hkv, dh])."""
     c = config
     G, d = x.shape
     dh = c.head_dim
@@ -281,13 +379,6 @@ def _layer_step_grouped(x, lp, cos, sin, ckp, cvp, ckc, cvc, t, plen,
     q = apply_rope(q, cos, sin)  # cos/sin [1, dh]: all branches share pos
     k = apply_rope(k, cos, sin)
 
-    ckc = jax.lax.dynamic_update_slice(
-        ckc, k[:, :, None, :].astype(ckc.dtype), (0, 0, t, 0)
-    )
-    cvc = jax.lax.dynamic_update_slice(
-        cvc, v[:, :, None, :].astype(cvc.dtype), (0, 0, t, 0)
-    )
-
     # bf16 matmul operands, fp32 accumulation (see _layer_step note)
     qh = q.reshape(G, hkv, grp, dh).astype(ckp.dtype)
     scale = dh ** -0.5
@@ -301,16 +392,24 @@ def _layer_step_grouped(x, lp, cos, sin, ckp, cvp, ckc, cvc, t, plen,
         "gkrd,gkjd->gkrj", qh, ckc,
         preferred_element_type=jnp.float32,
     ) * scale  # [G, hkv, grp, Nc]
-    st_c = jnp.where(jnp.arange(Nc)[None, None, None, :] <= t, st_c, NEG)
-    p = jax.nn.softmax(jnp.concatenate([st_p, st_c], axis=-1), axis=-1)
-    pp, pc = p[..., :Lp].astype(cvp.dtype), p[..., Lp:].astype(cvc.dtype)
+    st_c = jnp.where(jnp.arange(Nc)[None, None, None, :] < t, st_c, NEG)
+    kb = k.astype(qh.dtype)
+    st_s = jnp.sum(
+        qh.astype(jnp.float32) * kb.astype(jnp.float32)[:, :, None, :], axis=-1
+    ) * scale  # [G, hkv, grp] — current token attends to itself
+    p = jax.nn.softmax(
+        jnp.concatenate([st_p, st_c, st_s[..., None]], axis=-1), axis=-1
+    )
+    pp = p[..., :Lp].astype(cvp.dtype)
+    pc = p[..., Lp:Lp + Nc].astype(cvc.dtype)
+    ps = p[..., -1]  # [G, hkv, grp] fp32
     o = jnp.einsum(
         "gkrj,kjd->gkrd", pp, cvp,
         preferred_element_type=jnp.float32,
     ) + jnp.einsum(
         "gkrj,gkjd->gkrd", pc, cvc,
         preferred_element_type=jnp.float32,
-    )
+    ) + ps[..., None] * v.astype(jnp.float32)[:, :, None, :]
     o = o.reshape(G, hq * dh).astype(x.dtype)
     x = x + o @ lp["wo"]
 
@@ -320,17 +419,23 @@ def _layer_step_grouped(x, lp, cos, sin, ckp, cvp, ckc, cvc, t, plen,
         # the flat per-row decode exactly (cap >= k: nothing ever drops)
         y, _lb = jax.vmap(lambda hr: _moe_block(hr[None], lp, c, None))(h)
         x = x + y[:, 0].astype(x.dtype)
-        return x, ckc, cvc
+        return x, k, v
     act = jax.nn.silu((h @ lp["gate"]).astype(jnp.float32)).astype(h.dtype)
     x = x + (act * (h @ lp["up"])) @ lp["down"]
-    return x, ckc, cvc
+    return x, k, v
 
 
 def _decode_step_grouped(params, c: Qwen3Config, tok, plens, t, ckp, cvp,
                          ckc, cvc):
     """One decode token for all [P, G] branches. tok [P, G]; ckp/cvp
     [L, P, Hkv, Lp, dh] frozen; ckc/cvc [L, P, G, Hkv, Nc, dh] updated at
-    slot t. Returns (logits [P, G, V] fp32, ckc, cvc)."""
+    slot t. Returns (logits [P, G, V] fp32, ckc, cvc).
+
+    The layer scan only READS the caches and emits each layer's new (k, v)
+    [P, G, Hkv, dh]; both caches get ONE dynamic_update_slice at slot t per
+    step, on the decode loop's carry — which XLA performs in place. (The
+    previous formulation updated the caches inside the layer scan as stacked
+    outputs, making XLA materialize a full cache copy every step.)"""
     x = jnp.take(params["embed"], tok, axis=0)  # [P, G, d]
     cos, sin = rope_tables(plens + t, c.head_dim, c.rope_theta,
                            c.rope_scaling_tuple)  # [P, dh]
@@ -343,17 +448,25 @@ def _decode_step_grouped(params, c: Qwen3Config, tok, plens, t, ckp, cvp,
                 xg, lp, cosg[None], sing[None], kp1, vp1, kc1, vc1, t, plen, c
             )
 
-        x, kc, vc = jax.vmap(per_prompt)(x, cos, sin, plens, kp, vp, kc, vc)
-        return x, (kc, vc)
+        x, k_new, v_new = jax.vmap(per_prompt)(
+            x, cos, sin, plens, kp, vp, kc, vc
+        )
+        return x, (k_new, v_new)
 
-    x, (kcs, vcs) = jax.lax.scan(
+    x, (k_new, v_new) = jax.lax.scan(
         scan_fn, x, (params["layers"], ckp, cvp, ckc, cvc)
+    )  # k_new/v_new [L, P, G, Hkv, dh]
+    ckc = jax.lax.dynamic_update_slice(
+        ckc, k_new[:, :, :, :, None, :].astype(ckc.dtype), (0, 0, 0, 0, t, 0)
+    )
+    cvc = jax.lax.dynamic_update_slice(
+        cvc, v_new[:, :, :, :, None, :].astype(cvc.dtype), (0, 0, 0, 0, t, 0)
     )
     hidden = rms_norm(x, params["final_norm"], c.rms_norm_eps)
     logits = jnp.dot(
         hidden, lm_head_weight(params, c), preferred_element_type=jnp.float32
     )
-    return logits, kcs, vcs
+    return logits, ckc, cvc
 
 
 @functools.partial(

@@ -1,5 +1,10 @@
 """A/B test engine knobs on the real chip: remat policy, loss chunk, blocks."""
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import sys
 import time
 

@@ -1,5 +1,10 @@
 """Break down grouped-decode step time on the real chip (ablation timing)."""
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import functools
 import sys
 import time

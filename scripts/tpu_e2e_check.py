@@ -8,6 +8,11 @@ is identical). Measures:
   * step time + dense-equivalent tokens/s for both engines.
 """
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import sys
 import time
 

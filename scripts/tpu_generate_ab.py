@@ -5,6 +5,11 @@ reads per decode step); `generate_grouped` prefills each prompt once and
 decodes G branches against the frozen shared prompt KV.
 """
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import sys
 import time
 
@@ -56,8 +61,14 @@ print(f"flat:    {t_flat:.3f}s  {tok/t_flat:,.0f} sampled tok/s")
 print(f"grouped: {t_grp:.3f}s  {tok/t_grp:,.0f} sampled tok/s")
 print(f"speedup: {t_flat/t_grp:.2f}x")
 
-# greedy parity on the real chip (bf16)
+# greedy cross-implementation check on the real chip. At bf16 the two
+# samplers associate reductions differently (split vs fused cache einsums),
+# so near-tied argmaxes can flip and then the sequences diverge chaotically
+# — exact token parity is only a contract at fp32 (tests/test_generate.py).
+# Report agreement per position: it should start at 1.0 and decay, not
+# start broken.
 fg = generate(params, mc, flat_prompts[:G], flat_lens[:G], 16, greedy=True)
 gg = generate_grouped(params, mc, prompts[:1], lens[:1], G, 16, greedy=True)
-match = (fg == gg[0]).mean()
-print(f"greedy token agreement (bf16): {match:.3f}")
+agree = (fg == gg[0]).mean(axis=0)
+print(f"greedy agreement by position (bf16): {np.round(agree, 2)}")
+assert agree[0] == 1.0, "first token must match (same prefill logits)"

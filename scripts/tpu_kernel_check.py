@@ -4,6 +4,11 @@ Run on the real chip (no JAX_PLATFORMS override). Compares Pallas kernel
 fwd/bwd against the dense-mask jnp reference on a random packed trie.
 """
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import sys
 import time
 

@@ -3,6 +3,11 @@ official in-tree Pallas flash attention at MATCHED FLOPs (causal, same
 shapes) — the tree kernel run on forest-of-chains metadata computes exactly
 causal attention, so any gap is pure kernel overhead."""
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import functools
 import sys
 import time

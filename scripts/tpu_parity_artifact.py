@@ -3,6 +3,11 @@ reference's grad/Qwen3-0.6B-TB-vs-DB-bf16.txt): tree-backward vs
 dense-backward per-parameter relative gradient deviation, Qwen3-0.6B, bf16,
 on the real TPU. Norms are computed on-device (grads never leave HBM)."""
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import sys
 
 sys.path.insert(0, "/root/repo")

@@ -9,6 +9,11 @@ Everything except the ppermute dataflow (covered by the fake-mesh CPU tests)
 runs on real hardware.
 """
 
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import sys
 
 sys.path.insert(0, "/root/repo")
