@@ -74,8 +74,11 @@ def main(argv=None):
     ).astype(np.int32)
     key = jax.random.key(args.seed + 1)
 
+    import time
+
     history = []
     for it in range(args.iters):
+        t0 = time.time()
         # ---- rollout: G samples per prompt with a SHARED prompt KV cache
         # (generate_grouped prefills each prompt once and decodes G branches
         # against the frozen shared prefix — the rollout-side mirror of the
@@ -90,6 +93,7 @@ def main(argv=None):
         prompt_rows = np.repeat(prompts, args.samples, axis=0)
         seqs = [np.concatenate([prompt_rows[b], gen[b]]).astype(np.int32)
                 for b in range(B)]
+        t_roll = time.time() - t0
         attachs = [
             {"prompt_id": b // args.samples, "prompt_len": args.prompt_len}
             for b in range(B)
@@ -106,7 +110,9 @@ def main(argv=None):
         batch = engine.prepare(TokenTrie(seqs, attachs))
         ids = [int(x) for x in batch.packed.seq_batch_ids]
         lmax = int(batch.packed.seq_lens.max())
+        t1 = time.time()
         old_lp = engine.forward(params, batch)
+        t_fwd = time.time() - t1
         beh = np.zeros((len(ids), lmax - 1), np.float32)
         for row, b in enumerate(ids):
             beh[row, : len(old_lp[b])] = old_lp[b]
@@ -117,13 +123,19 @@ def main(argv=None):
                 np.array([attachs[b]["prompt_len"] for b in ids], np.int32)
             ),
         }
+        t2 = time.time()
         loss, grads = engine.loss_and_grad_custom(params, batch, loss_fn, extras)
         updates, opt_state = opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
+        jax.block_until_ready(params["embed"])
+        t_train = time.time() - t2
 
         rec = {"iter": it + 1, "loss": float(loss),
                "mean_reward": float(rewards.mean()),
-               "n_tree_tokens": int(batch.packed.n_tokens)}
+               "n_tree_tokens": int(batch.packed.n_tokens),
+               "t_rollout": round(t_roll, 3), "t_behavior_fwd": round(t_fwd, 3),
+               "t_train": round(t_train, 3),
+               "t_iter": round(time.time() - t0, 3)}
         history.append(rec)
         print(json.dumps(rec), flush=True)
     return history
