@@ -302,29 +302,48 @@ def _generate_jit(params, config, prompts, prompt_lens, key, max_new,
     key, k0 = jax.random.split(key)
     tok0 = sample(last, k0)
 
-    def decode(carry, t):
-        # carry token sits at rope position prompt_lens + t (t = 0 for
-        # tok0); its k/v land at the common cache slot Lp + t
-        tok, done, ck, cv, key = carry
+    # the carry token sits at rope position prompt_lens + t (t = 0 for
+    # tok0); its k/v land at the common cache slot Lp + t. Each step emits
+    # the carry token, so the outputs are [tok0, nxt1, ...] — exactly the
+    # max_new sampled tokens
+    def step_fn(tok, t, ck, cv, key):
         logits, ck, cv = _decode_step_flat(
             params, c, tok, prompt_lens, Lp, t, ck, cv
         )
         key, kt = jax.random.split(key)
-        nxt = sample(logits, kt)
-        if use_eos:
-            done_next = done | (tok == eos_id)
-            nxt = jnp.where(done_next, eos_id.astype(jnp.int32), nxt)
-        else:
-            done_next = done
-        return (nxt, done_next, ck, cv, key), tok
+        return sample(logits, kt), ck, cv, key
 
-    # each step emits the carry token, so ys = [tok0, nxt1, ...] — exactly
-    # the max_new sampled tokens
+    if not use_eos:
+        def decode(carry, t):
+            tok, ck, cv, key = carry
+            nxt, ck, cv, key = step_fn(tok, t, ck, cv, key)
+            return (nxt, ck, cv, key), tok
+
+        (_, _, _, _), toks = jax.lax.scan(
+            decode, (tok0, ck, cv, key), jnp.arange(max_new)
+        )
+        return toks.T  # [B, max_new]
+
+    # eos mode: while_loop with early exit once every row has sampled eos
+    # (pre-filled eos buffer = the forced-eos-tail contract)
+    buf0 = jnp.full((max_new, B), eos_id.astype(jnp.int32))
+
+    def cond(carry):
+        t, tok, done, ck, cv, key, buf = carry
+        return (t < max_new) & ~jnp.all(done)
+
+    def body(carry):
+        t, tok, done, ck, cv, key, buf = carry
+        buf = jax.lax.dynamic_update_slice(buf, tok[None], (t, 0))
+        nxt, ck, cv, key = step_fn(tok, t, ck, cv, key)
+        done_next = done | (tok == eos_id)
+        nxt = jnp.where(done_next, eos_id.astype(jnp.int32), nxt)
+        return (t + 1, nxt, done_next, ck, cv, key, buf)
+
     done0 = jnp.zeros((B,), bool)
-    (_, _, _, _, _), toks = jax.lax.scan(
-        decode, (tok0, done0, ck, cv, key), jnp.arange(max_new)
-    )
-    return toks.T  # [B, max_new]
+    carry = (jnp.int32(0), tok0, done0, ck, cv, key, buf0)
+    *_, buf = jax.lax.while_loop(cond, body, carry)
+    return buf.T  # [B, max_new]
 
 
 # --------------------------------------------------------- grouped generation
@@ -520,25 +539,45 @@ def _generate_grouped_jit(params, config, prompts, prompt_lens, key, group,
     )
     cvc = jnp.zeros_like(ckc)
 
-    def decode(carry, t):
-        tok, done, ckc, cvc, key = carry
+    def step_fn(tok, t, ckc, cvc, key):
         logits, ckc, cvc = _decode_step_grouped(
             params, c, tok, prompt_lens, t, ckp, cvp, ckc, cvc
         )
         key, kt = jax.random.split(key)
-        nxt = sample(logits, kt)
-        if use_eos:
-            done_next = done | (tok == eos_id)
-            nxt = jnp.where(done_next, eos_id.astype(jnp.int32), nxt)
-        else:
-            done_next = done
-        return (nxt, done_next, ckc, cvc, key), tok
+        return sample(logits, kt), ckc, cvc, key
 
     done0 = jnp.zeros((P, G), bool)
-    (_, _, _, _, _), toks = jax.lax.scan(
-        decode, (tok0, done0, ckc, cvc, key), jnp.arange(max_new)
-    )
-    return jnp.transpose(toks, (1, 2, 0))  # [P, G, max_new]
+    if not use_eos:
+        def decode(carry, t):
+            tok, ckc, cvc, key = carry
+            nxt, ckc, cvc, key = step_fn(tok, t, ckc, cvc, key)
+            return (nxt, ckc, cvc, key), tok
+
+        (_, _, _, _), toks = jax.lax.scan(
+            decode, (tok0, ckc, cvc, key), jnp.arange(max_new)
+        )
+        return jnp.transpose(toks, (1, 2, 0))  # [P, G, max_new]
+
+    # eos mode: while_loop with early exit once EVERY branch has sampled
+    # eos — real completions usually end well before max_new, and the
+    # pre-filled eos buffer is exactly the forced-eos-tail contract
+    buf0 = jnp.full((max_new, P, G), eos_id.astype(jnp.int32))
+
+    def cond(carry):
+        t, tok, done, ckc, cvc, key, buf = carry
+        return (t < max_new) & ~jnp.all(done)
+
+    def body(carry):
+        t, tok, done, ckc, cvc, key, buf = carry
+        buf = jax.lax.dynamic_update_slice(buf, tok[None], (t, 0, 0))
+        nxt, ckc, cvc, key = step_fn(tok, t, ckc, cvc, key)
+        done_next = done | (tok == eos_id)
+        nxt = jnp.where(done_next, eos_id.astype(jnp.int32), nxt)
+        return (t + 1, nxt, done_next, ckc, cvc, key, buf)
+
+    carry = (jnp.int32(0), tok0, done0, ckc, cvc, key, buf0)
+    *_, buf = jax.lax.while_loop(cond, body, carry)
+    return jnp.transpose(buf, (1, 2, 0))  # [P, G, max_new]
 
 
 def generate_grouped(params, config: Qwen3Config, prompts, prompt_lens,

@@ -210,3 +210,44 @@ def test_grouped_generate_shards_over_data_axis():
     l_sh = jax.device_put(lens, NamedSharding(mesh, P("data")))
     out = generate_grouped(params, cfg, p_sh, l_sh, 2, 6, greedy=True)
     np.testing.assert_array_equal(out, ref)
+
+
+def test_eos_mode_matches_free_run_prefix():
+    """eos mode (early-exit while_loop) must equal the free-running sampler
+    token-for-token up to and including each row's first eos, and be all-eos
+    after — i.e., early exit changes nothing observable."""
+    cfg = MODEL_CONFIGS["qwen3-tiny"]
+    params = init_params(cfg, jax.random.key(21), dtype=jnp.float32)
+    rng = np.random.default_rng(20)
+    prompts = rng.integers(1, cfg.vocab_size, size=(4, 8)).astype(np.int32)
+    lens = np.full((4,), 8, np.int32)
+    free = generate(params, cfg, prompts, lens, 12, greedy=True)
+    eos = int(free[0, 3])  # a token that actually appears → rows finish early
+    out = generate(params, cfg, prompts, lens, 12, greedy=True, eos_id=eos)
+    for b in range(4):
+        hits = np.nonzero(free[b] == eos)[0]
+        cut = (hits[0] + 1) if len(hits) else 12
+        np.testing.assert_array_equal(out[b, :cut], free[b, :cut])
+        assert np.all(out[b, cut:] == eos)
+
+
+def test_grouped_eos_mode_matches_free_run_prefix():
+    from dynamictreeattn_tpu.models.generate import generate_grouped
+
+    cfg = MODEL_CONFIGS["qwen3-tiny"]
+    params = init_params(cfg, jax.random.key(22), dtype=jnp.float32)
+    rng = np.random.default_rng(21)
+    prompts = rng.integers(1, cfg.vocab_size, size=(2, 8)).astype(np.int32)
+    lens = np.full((2,), 8, np.int32)
+    kk = jax.random.key(3)
+    free = generate_grouped(params, cfg, prompts, lens, 4, 12, key=kk,
+                            temperature=1.0)
+    eos = int(free[0, 0, 2])
+    out = generate_grouped(params, cfg, prompts, lens, 4, 12, key=kk,
+                           temperature=1.0, eos_id=eos)
+    for p in range(2):
+        for g in range(4):
+            hits = np.nonzero(free[p, g] == eos)[0]
+            cut = (hits[0] + 1) if len(hits) else 12
+            np.testing.assert_array_equal(out[p, g, :cut], free[p, g, :cut])
+            assert np.all(out[p, g, cut:] == eos)
