@@ -434,10 +434,15 @@ def _layer_step_grouped(x, lp, cos, sin, ckp, cvp, ckc, cvc, t, plen,
 
     h = rms_norm(x, lp["ln2"], eps)
     if c.is_moe:
-        # route each branch token alone ([1, d]) so capacity semantics match
-        # the flat per-row decode exactly (cap >= k: nothing ever drops)
-        y, _lb = jax.vmap(lambda hr: _moe_block(hr[None], lp, c, None))(h)
-        x = x + y[:, 0].astype(x.dtype)
+        # batched dispatch with capacity=G is EXACT: an expert receives at
+        # most one (token, choice) pair per branch token, so <= G pairs —
+        # nothing can drop, matching the flat per-row decode (whose cap >= k
+        # at T=1 likewise never drops)
+        from dynamictreeattn_tpu.models.qwen3 import moe_apply, moe_route
+
+        w, idx, _lb = moe_route(h, lp["router"], c, None)
+        y = moe_apply(h, lp["e_gate"], lp["e_up"], lp["e_down"], idx, w, G)
+        x = x + y.astype(x.dtype)
         return x, k, v
     act = jax.nn.silu((h @ lp["gate"]).astype(jnp.float32)).astype(h.dtype)
     x = x + (act * (h @ lp["up"])) @ lp["down"]
