@@ -244,6 +244,35 @@ class Trainer:
             out_bins.append(list(ids))
         return tries, out_bins
 
+    def rollout(self, prompts, prompt_lens, group: int, max_new: int,
+                key=None, temperature: float = 1.0, greedy: bool = False,
+                eos_id: int | None = None):
+        """Sample `group` completions per prompt with the CURRENT policy.
+
+        The rollout side of the RL loop at trainer scale: params may be
+        sharded (TP / FSDP / EP / PP) — they are gathered to full replicated
+        values for the sampler, which is data-parallel over prompt rows
+        (pass prompts device_put with a P("data", None) sharding to scale
+        rollouts over the mesh; tests/test_generate.py shows the pattern).
+        Returns [P, group, max_new] int32 (`models.generate_grouped`
+        semantics: eos_id forces eos tails and decode exits early once every
+        branch finished). The gather costs one host round-trip per call
+        (same path save() uses) — amortize by sampling a full batch of
+        prompt groups per call."""
+        assert self.params is not None, "call init()/restore() first"
+        from dynamictreeattn_tpu.models.generate import generate_grouped
+
+        if self.tc.multihost:
+            from jax.experimental import multihost_utils
+
+            params = multihost_utils.process_allgather(self.params, tiled=True)
+        else:
+            params = jax.device_get(self.params)
+        return generate_grouped(
+            params, self.mc, prompts, prompt_lens, group, max_new,
+            key=key, temperature=temperature, greedy=greedy, eos_id=eos_id,
+        )
+
     def forward_logprobs(self, seqs, attachs) -> list:
         """Behavior logprobs for a rollout batch, sharded over the mesh
         (engine.forward at scale — the RL ratio denominators, reference:

@@ -193,3 +193,24 @@ def test_trainer_custom_grpo_loss_at_scale():
               for _ in range(5)]
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]
+
+
+def test_trainer_rollout_matches_replicated_sampler():
+    """Trainer.rollout gathers sharded (fsdp+tp) params and samples exactly
+    like generate_grouped on the raw replicated params."""
+    import jax
+
+    from dynamictreeattn_tpu.models import generate_grouped, init_params
+
+    tc = TrainConfig(dp=2, tp=2, fsdp=True, fsdp_min_size=1,
+                     learning_rate=1e-3, param_dtype="fp32")
+    tr = Trainer(TINY, ECFG, tc)
+    raw = init_params(TINY, jax.random.key(5), dtype=np.float32)
+    tr.set_params(raw)
+
+    rng = np.random.default_rng(3)
+    prompts = rng.integers(1, TINY.vocab_size, size=(2, 8)).astype(np.int32)
+    lens = np.array([8, 6], np.int32)
+    out = tr.rollout(prompts, lens, group=3, max_new=5, greedy=True)
+    ref = generate_grouped(raw, TINY, prompts, lens, 3, 5, greedy=True)
+    np.testing.assert_array_equal(out, ref)
