@@ -60,6 +60,11 @@ class EngineConfig:
     # no online-softmax chain — see ops/tree_attention.py) for qk-normed
     # models, "online" otherwise; or force either mode explicitly
     fwd_softmax: str = "auto"
+    # backward kernels: "auto"/"fused" = one kv-major kernel emits dq+dk+dv
+    # (computes the score/exp/dp chain once per block pair; dq accumulated
+    # via explicit HBM read-modify-write DMAs — ops/tree_attention.py);
+    # "split" = separate dq/dkv kernels
+    bwd_mode: str = "auto"
     # "ladder": geometric (≤25% waste) length buckets so jit shapes repeat
     # across workloads (SURVEY.md §7.3 hard part 3); "exact": minimal padding
     # (one compile per distinct length — benchmarking single fixed workloads)
@@ -86,6 +91,17 @@ class EngineConfig:
 
 def _next_pow2(x: int) -> int:
     return 1 << max(0, (x - 1)).bit_length()
+
+
+def resolve_kernel_modes(mc, cfg: EngineConfig) -> tuple[str, str]:
+    """(softmax_mode, bwd_mode) for this model/config — the single "auto"
+    rule, shared by TreeEngine and the sharded step builders
+    (parallel/train.py, parallel/pipeline.py)."""
+    fwd = cfg.fwd_softmax
+    if fwd == "auto":
+        fwd = "bound" if getattr(mc, "use_qk_norm", False) else "online"
+    bwd = "fused" if cfg.bwd_mode == "auto" else cfg.bwd_mode
+    return fwd, bwd
 
 
 @dataclasses.dataclass
@@ -171,17 +187,18 @@ class TreeEngine:
         if cfg.attn_backend == "pallas":
             bs = BlockSizes(cfg.block_q, cfg.block_kv)
             mode = self._fwd_softmax()
+            bwd = self._bwd_mode()
             return lambda q, k, v: tree_attention(
                 q, k, v, last_desc, *meta, block_sizes=bs,
-                interpret=cfg.interpret, softmax_mode=mode,
+                interpret=cfg.interpret, softmax_mode=mode, bwd_mode=bwd,
             )
         raise ValueError(f"unknown attn_backend {cfg.attn_backend!r}")
 
     def _fwd_softmax(self) -> str:
-        mode = self.cfg.fwd_softmax
-        if mode == "auto":
-            return "bound" if getattr(self.mc, "use_qk_norm", False) else "online"
-        return mode
+        return resolve_kernel_modes(self.mc, self.cfg)[0]
+
+    def _bwd_mode(self) -> str:
+        return resolve_kernel_modes(self.mc, self.cfg)[1]
 
     def _hidden(self, params, tokens, depth, last_desc, meta, valid=None):
         return forward_hidden(

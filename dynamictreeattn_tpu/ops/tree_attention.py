@@ -655,6 +655,251 @@ def _bwd_dkv(q4, k, v, ld2, q_ids, q_counts, q_types, do, lse, di, scale, bs,
     return dk, dv
 
 
+# --------------------------------------------------------------------- fused bwd
+
+
+def _dqdkv_kernel(
+    offs_ref,
+    ids_ref,
+    counts_ref,
+    types_ref,
+    first_ref,
+    q_ref,
+    k_ref,
+    v_ref,
+    ld_ref,
+    do_ref,
+    lse_ref,
+    di_ref,
+    dk_ref,
+    dv_ref,
+    dq_hbm,
+    dk_scr,
+    dv_scr,
+    dq_scr,
+    rsem,
+    wsem,
+    *,
+    scale: float,
+    block_q: int,
+    block_kv: int,
+    group: int,
+    nk: int,
+    slots: int,
+):
+    """Fused dq+dkv: one kv-major pass computes st/p/dp/ds ONCE per active
+    (kv, q) block pair and emits all three gradients.
+
+    The split kernels each rebuild the same scores, probabilities and dp —
+    per pair that is 7 MXU matmuls + 2 exp chains; fused it is 5 matmuls +
+    1 exp (the kernels are VPU-bound on exp, docs/PERF.md). dk/dv accumulate
+    in VMEM scratch exactly like the split dkv kernel. dq[q_id] is visited at
+    several non-consecutive grid steps (one per ancestor kv block), which
+    Pallas's output pipeline cannot accumulate — so dq lives in HBM
+    (memory_space ANY, fp32) and the kernel does an explicit
+    read-modify-write per visit with manual DMAs:
+
+    * ``first_ref[j, s]`` marks the first visit of q block ``ids[j, s]`` in
+      (j asc, s asc) traversal order — the first visit overwrites (no read,
+      no zero-init pass), later visits read+add.
+    * at most ONE dq write is in flight at a time: each compute step first
+      drains the previous step's write (also freeing the dq_scr buffer),
+      so every read observes all earlier writes (RAW-safe even when the
+      same q block is visited by adjacent kv blocks). (j==0, s==0) is
+      always a compute step — the kv block 0 diagonal pair is always
+      active — so "not the first grid step" ⇔ "a write is pending".
+    * the read DMA is issued before the score/ds compute and waited after,
+      hiding its latency under the pair's 5 matmuls; the final write is
+      drained at the last grid step of each h's subgrid (megacore splits
+      only the parallel h axis, so the one-in-flight invariant holds
+      per-core).
+    """
+    h = pl.program_id(0)
+    j = pl.program_id(1)
+    s = pl.program_id(2)
+    count = counts_ref[j]
+    typ = types_ref[j, s]
+
+    @pl.when(s == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    @pl.when(typ > 0)
+    def _compute():
+        q_id = ids_ref[j, s]
+        first = first_ref[j, s]
+        dst = dq_hbm.at[h, :, pl.ds(q_id * block_q, block_q), :]
+
+        @pl.when(jnp.logical_not((j == 0) & (s == 0)))
+        def _drain_prev_write():
+            pltpu.make_async_copy(dq_scr, dst, wsem).wait()
+
+        rd = pltpu.make_async_copy(dst, dq_scr, rsem)
+
+        @pl.when(first == 0)
+        def _start_read():
+            rd.start()
+
+        k = k_ref[0]
+        v = v_ref[0]
+        k_pos = offs_ref[1] + j * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (block_kv, block_q), 0
+        )
+        q_pos = offs_ref[0] + q_id * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_kv, block_q), 1
+        )
+        ld_col = jnp.expand_dims(ld_ref[0], -1)
+        mask = (k_pos <= q_pos) & (q_pos <= ld_col)
+        mask = mask | (typ == 2)
+        bias = jnp.where(mask, 0.0, MASK_VALUE)
+
+        partials = []
+        for gi in range(group):
+            q = q_ref[0, gi]
+            do = do_ref[0, gi]
+            lse_row = lse_ref[0, gi : gi + 1, :]  # [1, bq]
+            di_row = di_ref[0, gi : gi + 1, :]
+            st = (
+                jax.lax.dot_general(
+                    k,
+                    q,
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                * scale
+                + bias
+            )  # [bkv, bq]
+            p = jnp.exp(st - lse_row)
+            dv_scr[...] += jax.lax.dot_general(
+                p.astype(do.dtype),
+                do,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [bkv, dh]
+            dp = jax.lax.dot_general(
+                v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            )
+            ds = (dp - di_row) * p * scale
+            dk_scr[...] += jax.lax.dot_general(
+                ds.astype(q.dtype),
+                q,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [bkv, dh]
+            partials.append(
+                jax.lax.dot_general(
+                    ds.astype(k.dtype),
+                    k,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [bq, dh]
+            )
+
+        @pl.when(first == 0)
+        def _wait_read():
+            rd.wait()
+
+        revisit = first == 0
+        for gi in range(group):
+            prev = jnp.where(revisit, dq_scr[gi], 0.0)
+            dq_scr[gi] = prev + partials[gi]
+        pltpu.make_async_copy(dq_scr, dst, wsem).start()
+
+    @pl.when(s == count - 1)
+    def _emit():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+    @pl.when((j == nk - 1) & (s == slots - 1))
+    def _final_drain():
+        # ≥1 compute step ran for this h (diagonal pairs always exist), so a
+        # write is pending here; the descriptor's target address is
+        # irrelevant to the semaphore wait — only the transfer size matters.
+        pltpu.make_async_copy(
+            dq_hbm.at[h, :, pl.ds(0, block_q), :], dq_scr, wsem
+        ).wait()
+
+
+def _first_visit_marks(q_ids, q_types, nq):
+    """1 where (j, s) is the first valid visit of q block q_ids[j, s] in
+    (j asc, s asc) traversal order (padding slots repeat earlier ids and
+    never count). Tiny [nk, slots] int32 work, computed on device so BlockMeta
+    needs no new field."""
+    flat = q_ids.reshape(-1)
+    validm = q_types.reshape(-1) > 0
+    sentinel = jnp.int32(flat.shape[0])
+    pos = jnp.where(
+        validm, jnp.arange(flat.shape[0], dtype=jnp.int32), sentinel
+    )
+    firstpos = jnp.full((nq,), sentinel, jnp.int32).at[flat].min(
+        pos, mode="drop"
+    )
+    return (validm & (pos == firstpos[flat])).astype(jnp.int32).reshape(
+        q_ids.shape
+    )
+
+
+def _bwd_fused(q4, k, v, ld2, q_ids, q_counts, q_types, do, lse, di, scale, bs,
+               interpret, offs=None):
+    hkv, group, n, dh = q4.shape
+    nkv = k.shape[1]
+    bq, bkv = bs.block_q, bs.block_kv
+    nk = nkv // bkv
+    slots = q_ids.shape[1]
+    if offs is None:
+        offs = jnp.zeros((2,), jnp.int32)
+    q_first = _first_visit_marks(q_ids, q_types, n // bq)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(hkv, nk, slots),
+        in_specs=[
+            pl.BlockSpec((1, group, bq, dh), lambda h, j, s, off, ids, *_: (h, 0, ids[j, s], 0)),
+            pl.BlockSpec((1, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
+            pl.BlockSpec((1, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
+            pl.BlockSpec(
+                (1, bkv), lambda h, j, s, off, *_: (0, off[1] // bkv + j)
+            ),
+            pl.BlockSpec((1, group, bq, dh), lambda h, j, s, off, ids, *_: (h, 0, ids[j, s], 0)),
+            pl.BlockSpec((1, group, bq), lambda h, j, s, off, ids, *_: (h, 0, ids[j, s])),
+            pl.BlockSpec((1, group, bq), lambda h, j, s, off, ids, *_: (h, 0, ids[j, s])),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
+            pl.BlockSpec((1, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bkv, dh), jnp.float32),
+            pltpu.VMEM((bkv, dh), jnp.float32),
+            pltpu.VMEM((group, bq, dh), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(
+        _dqdkv_kernel, scale=scale, block_q=bq, block_kv=bkv, group=group,
+        nk=nk, slots=slots,
+    )
+    dk, dv, dqf = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct(q4.shape, jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=_interpret_mode(interpret),
+        name="tree_attention_bwd_fused",
+    )(offs.astype(jnp.int32), q_ids, q_counts, q_types, q_first,
+      q4, k, v, ld2, do, lse, di)
+    return dqf.astype(q4.dtype), dk, dv
+
+
 # -------------------------------------------------------------------- custom_vjp
 
 
@@ -695,7 +940,7 @@ def _fwd_dispatch(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
 def _tree_attention(
     q4,
     k,
@@ -711,6 +956,7 @@ def _tree_attention(
     block_sizes,
     interpret,
     softmax_mode,
+    bwd_mode,
 ):
     o, _ = _fwd_dispatch(
         q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, block_sizes,
@@ -721,7 +967,7 @@ def _tree_attention(
 
 def _tree_attention_fwd(
     q4, k, v, ld2, kv_ids, kv_counts, kv_types, q_ids, q_counts, q_types,
-    scale, block_sizes, interpret, softmax_mode,
+    scale, block_sizes, interpret, softmax_mode, bwd_mode,
 ):
     o, lse = _fwd_dispatch(
         q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, block_sizes,
@@ -739,9 +985,18 @@ def _tree_attention_fwd(
     return o, res
 
 
-def _tree_attention_bwd(scale, block_sizes, interpret, softmax_mode, res, do):
+def _tree_attention_bwd(scale, block_sizes, interpret, softmax_mode, bwd_mode,
+                        res, do):
     (q4, k, v, ld2, kv_ids, kv_counts, kv_types, q_ids, q_counts, q_types, o, lse) = res
     di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [hkv,g,n]
+    if bwd_mode == "fused":
+        dq, dk, dv = _bwd_fused(
+            q4, k, v, ld2, q_ids, q_counts, q_types, do, lse, di, scale,
+            block_sizes, interpret,
+        )
+        return (dq, dk, dv, None, None, None, None, None, None, None)
+    if bwd_mode != "split":
+        raise ValueError(f"unknown bwd_mode {bwd_mode!r}")
     dq = _bwd_dq(
         q4, k, v, ld2, kv_ids, kv_counts, kv_types, do, lse, di, scale, block_sizes,
         interpret,
@@ -775,8 +1030,19 @@ def tree_attention(
     block_sizes: BlockSizes = BlockSizes(),
     interpret: bool = False,
     softmax_mode: str = "online",
+    bwd_mode: str = "split",
 ) -> jnp.ndarray:
     """Tree-masked flash attention over a packed DFS trie layout.
+
+    bwd_mode:
+
+    * ``"split"`` (default) — separate dq (query-major) and dkv (key-major)
+      kernels, each recomputing scores/probabilities from the saved lse.
+    * ``"fused"`` — one key-major kernel emits dq+dk+dv, computing the
+      score/exp/dp chain once per active block pair (the split pair does it
+      twice; the kernels are VPU-bound on that chain — docs/PERF.md). dq is
+      accumulated in fp32 HBM via explicit read-modify-write DMAs; see
+      ``_dqdkv_kernel``.
 
     softmax_mode:
 
@@ -825,6 +1091,7 @@ def tree_attention(
         block_sizes,
         bool(interpret),
         str(softmax_mode),
+        str(bwd_mode),
     )
     return o.reshape(hq, n, dh)
 

@@ -156,8 +156,12 @@ def make_pp_train_step(
             return lambda q, k, v: tree_attention_reference(q, k, v, ld)
         meta = tuple(mb_field(f, mb) for f in _META_FIELDS)
         bs = BlockSizes(ec.block_q, ec.block_kv)
+        from dynamictreeattn_tpu.engine.tree_engine import resolve_kernel_modes
+
+        fwd_mode, bwd_mode = resolve_kernel_modes(mc, ec)
         return lambda q, k, v: tree_attention(
-            q, k, v, ld, *meta, block_sizes=bs, interpret=ec.interpret
+            q, k, v, ld, *meta, block_sizes=bs, interpret=ec.interpret,
+            softmax_mode=fwd_mode, bwd_mode=bwd_mode,
         )
 
     def stage_layers(p, x, attn_fn, cos, sin, val):

@@ -236,8 +236,10 @@ def _fsdp_gather_top(params, dims):
     return params
 
 
-def _unpack_rank_batch(batch, ec: EngineConfig):
+def _unpack_rank_batch(batch, ec: EngineConfig, mc=None):
     """This rank's batch fields + the attention fn both step builders use."""
+    from dynamictreeattn_tpu.engine.tree_engine import resolve_kernel_modes
+
     fields = {f: batch[f][0] for f in _BATCH_FIELDS}
     meta = tuple(batch[f][0] for f in _META_FIELDS)
     last_desc = fields["last_desc"]
@@ -245,8 +247,10 @@ def _unpack_rank_batch(batch, ec: EngineConfig):
         attn_fn = lambda q, k, v: tree_attention_reference(q, k, v, last_desc)
     else:
         bs = BlockSizes(ec.block_q, ec.block_kv)
+        fwd_mode, bwd_mode = resolve_kernel_modes(mc, ec)
         attn_fn = lambda q, k, v: tree_attention(
-            q, k, v, last_desc, *meta, block_sizes=bs, interpret=ec.interpret
+            q, k, v, last_desc, *meta, block_sizes=bs, interpret=ec.interpret,
+            softmax_mode=fwd_mode, bwd_mode=bwd_mode,
         )
     return fields, meta, attn_fn
 
@@ -544,7 +548,7 @@ def make_train_step(
     )
 
     def local_loss_and_grad(params, batch):
-        fields, meta, attn_fn = _unpack_rank_batch(batch, ec)
+        fields, meta, attn_fn = _unpack_rank_batch(batch, ec, mc)
         tokens = fields["tokens"]
         depth = fields["depth"]
         parent = fields["parent"]
@@ -762,7 +766,7 @@ def make_forward_step(
     bspec = batch_partition_specs()
 
     def local_forward(params, batch):
-        fields, meta, attn_fn = _unpack_rank_batch(batch, ec)
+        fields, meta, attn_fn = _unpack_rank_batch(batch, ec, mc)
         if fsdp:
             unshard_layer = _fsdp_unshard_layer(dims)
             params = _fsdp_gather_top(params, dims)

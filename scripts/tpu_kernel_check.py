@@ -93,6 +93,24 @@ for a, b, name in zip(gk, gr, ["dq", "dk", "dv"]):
               / (1e-9 + jnp.linalg.norm(b.astype(jnp.float32))))
     print(f"{name}: max abs err {e:.5f}  rel fro {r:.5f}")
 
+# fused backward kernel (one kv-major dq+dk+dv pass) vs reference grads
+@jax.jit
+def run_grads_fused(q, k, v):
+    def f(q, k, v):
+        o = tree_attention(q, k, v, ld, *margs, block_sizes=bs,
+                           bwd_mode="fused")
+        return jnp.sum((o * cot).astype(jnp.float32))
+
+    return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+
+gf = run_grads_fused(q, k, v)
+for a, b, name in zip(gf, gr, ["dq", "dk", "dv"]):
+    e = float(jnp.max(jnp.abs(a.astype(jnp.float32) - b.astype(jnp.float32))))
+    r = float(jnp.linalg.norm(a.astype(jnp.float32) - b.astype(jnp.float32))
+              / (1e-9 + jnp.linalg.norm(b.astype(jnp.float32))))
+    print(f"{name}[fused]: max abs err {e:.5f}  rel fro {r:.5f}")
+
 # bound-shift softmax mode: fast path exactness + guard fallback
 @jax.jit
 def run_fwd_bound(q, k, v):

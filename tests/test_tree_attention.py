@@ -228,3 +228,66 @@ def test_pallas_interpret_forward_tiny():
         )
         ref = tree_attention_reference(q, k, v, ld)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_first_visit_marks_oracle(seed):
+    """The fused backward's first-visit metadata (which grid step initializes
+    each dq block instead of read-modify-writing it) vs a python oracle, on
+    real random-trie block metadata."""
+    from dynamictreeattn_tpu.ops.tree_attention import _first_visit_marks
+
+    rng = np.random.default_rng(seed)
+    block, n = 32, 256
+    _, _, packed, meta = random_packed(rng, n, block, n_seqs=10, max_len=40)
+    nq = n // block
+    got = np.asarray(
+        _first_visit_marks(
+            jnp.asarray(meta.q_ids), jnp.asarray(meta.q_types), nq
+        )
+    )
+    seen = set()
+    want = np.zeros_like(got)
+    for j in range(meta.q_ids.shape[0]):
+        for s in range(meta.q_ids.shape[1]):
+            if meta.q_types[j, s] > 0 and meta.q_ids[j, s] not in seen:
+                seen.add(meta.q_ids[j, s])
+                want[j, s] = 1
+    np.testing.assert_array_equal(got, want)
+    # every q block is visited (diagonal pairs always exist) — the fused
+    # kernel relies on this to initialize every dq block
+    assert len(seen) == nq
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_INTERPRET"),
+    reason="Pallas interpret-mode compile is minutes-slow; opt in with RUN_INTERPRET=1. "
+    "Real-kernel parity runs on TPU via scripts/tpu_bwd_ab.py.",
+)
+def test_pallas_interpret_fused_bwd_matches_split():
+    """Fused dq+dkv kernel (HBM read-modify-write dq accumulation) ==
+    split kernels, bit-exact in the TPU-semantics interpreter."""
+    rng = np.random.default_rng(0)
+    block, n, dh = 32, 128, 32
+    hq, hkv = 4, 2  # group=2 exercises the grouped RMW buffer
+    _, _, packed, meta = random_packed(rng, n, block, n_seqs=8, max_len=30)
+    q = jax.random.normal(jax.random.key(0), (hq, n, dh), dtype=jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (hkv, n, dh), dtype=jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (hkv, n, dh), dtype=jnp.float32)
+    w = jax.random.normal(jax.random.key(3), (hq, n, dh), dtype=jnp.float32)
+    ld = jnp.asarray(packed.last_desc)
+
+    def loss(q, k, v, mode):
+        o = tree_attention(
+            q, k, v, ld, *_meta_args(meta),
+            block_sizes=BlockSizes(block, block), interpret=True, bwd_mode=mode,
+        )
+        return jnp.sum(o * w)
+
+    with jax.default_matmul_precision("highest"):
+        gs = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, "split")
+        gf = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, "fused")
+    for a, b in zip(gs, gf):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+        )
