@@ -663,7 +663,7 @@ def _dqdkv_kernel(
     ids_ref,
     counts_ref,
     types_ref,
-    first_ref,
+    aux_ref,
     q_ref,
     k_ref,
     v_ref,
@@ -671,12 +671,12 @@ def _dqdkv_kernel(
     do_ref,
     lse_ref,
     di_ref,
-    dk_ref,
-    dv_ref,
-    dq_hbm,
-    dk_scr,
-    dv_scr,
+    dq_ref,
+    dk_hbm,
+    dv_hbm,
     dq_scr,
+    dkv_scr,
+    pend_scr,
     rsem,
     wsem,
     *,
@@ -684,69 +684,93 @@ def _dqdkv_kernel(
     block_q: int,
     block_kv: int,
     group: int,
-    nk: int,
+    nq: int,
     slots: int,
 ):
-    """Fused dq+dkv: one kv-major pass computes st/p/dp/ds ONCE per active
-    (kv, q) block pair and emits all three gradients.
+    """Fused dq+dk+dv: one query-major pass computes st/p/dp/ds ONCE per
+    active (q, kv) block pair and emits all three gradients.
 
     The split kernels each rebuild the same scores, probabilities and dp —
     per pair that is 7 MXU matmuls + 2 exp chains; fused it is 5 matmuls +
-    1 exp (the kernels are VPU-bound on exp, docs/PERF.md). dk/dv accumulate
-    in VMEM scratch exactly like the split dkv kernel. dq[q_id] is visited at
-    several non-consecutive grid steps (one per ancestor kv block), which
-    Pallas's output pipeline cannot accumulate — so dq lives in HBM
-    (memory_space ANY, fp32) and the kernel does an explicit
-    read-modify-write per visit with manual DMAs:
+    1 exp (the kernels are VPU-bound on exp, docs/PERF.md). dq accumulates
+    in VMEM scratch exactly like the split dq kernel (resident per q block).
+    dk/dv[kv_id] are visited at several non-consecutive grid steps (one per
+    descendant q block), which Pallas's output pipeline cannot accumulate —
+    so they live in fp32 HBM (memory_space ANY) and the kernel does an
+    explicit read-modify-write per visit with manual DMAs, double-buffered
+    so the RMW never stalls the MXU except on true back-to-back conflicts:
 
-    * ``first_ref[j, s]`` marks the first visit of q block ``ids[j, s]`` in
-      (j asc, s asc) traversal order — the first visit overwrites (no read,
-      no zero-init pass), later visits read+add.
-    * at most ONE dq write is in flight at a time: each compute step first
-      drains the previous step's write (also freeing the dq_scr buffer),
-      so every read observes all earlier writes (RAW-safe even when the
-      same q block is visited by adjacent kv blocks). (j==0, s==0) is
-      always a compute step — the kv block 0 diagonal pair is always
-      active — so "not the first grid step" ⇔ "a write is pending".
-    * the read DMA is issued before the score/ds compute and waited after,
-      hiding its latency under the pair's 5 matmuls; the final write is
-      drained at the last grid step of each h's subgrid (megacore splits
-      only the parallel h axis, so the one-in-flight invariant holds
-      per-core).
+    * ``aux_ref[i, s] = (first, conflict, parity)``: `first` marks the first
+      visit of kv block ``ids[i, s]`` in (i asc, s asc) traversal order (the
+      first visit overwrites — no read, no zero-init pass); `conflict` marks
+      a visit whose kv block equals the PREVIOUS compute step's (its write
+      must drain before this read — RAW); `parity` alternates 0/1 across
+      compute steps and picks the scratch buffer + write semaphore.
+    * ``pend_scr[p]`` (SMEM) tracks whether a write from buffer p is in
+      flight. Each compute step drains pend[parity] (buffer reuse — that
+      write is 2 compute steps old, so it is long done) and, only on
+      `conflict`, pend[1-parity] (the immediately preceding write). Reads
+      are issued before the pair's 5 matmuls and waited after, hiding their
+      latency. Writes from distinct buffers target distinct kv blocks
+      except across h-subgrids (different h ⇒ disjoint regions, no hazard).
+    * all pending writes are drained at the last grid step of each
+      h-subgrid, and pend resets at each subgrid start — megacore splits
+      only the parallel h axis, so this bookkeeping is per-core-correct.
     """
     h = pl.program_id(0)
-    j = pl.program_id(1)
+    i = pl.program_id(1)
     s = pl.program_id(2)
-    count = counts_ref[j]
-    typ = types_ref[j, s]
+    count = counts_ref[i]
+    typ = types_ref[i, s]
+
+    @pl.when((i == 0) & (s == 0))
+    def _init_pending():
+        # SMEM scratch is uninitialized at kernel start; at later subgrid
+        # starts everything was drained at the previous subgrid's end.
+        pend_scr[0] = 0
+        pend_scr[1] = 0
 
     @pl.when(s == 0)
     def _init():
-        dk_scr[...] = jnp.zeros_like(dk_scr)
-        dv_scr[...] = jnp.zeros_like(dv_scr)
+        dq_scr[...] = jnp.zeros_like(dq_scr)
 
     @pl.when(typ > 0)
     def _compute():
-        q_id = ids_ref[j, s]
-        first = first_ref[j, s]
-        dst = dq_hbm.at[h, :, pl.ds(q_id * block_q, block_q), :]
+        kv_id = ids_ref[i, s]
+        first = aux_ref[i, s, 0]
+        conflict = aux_ref[i, s, 1]
+        par = aux_ref[i, s, 2]
+        dst_k = dk_hbm.at[h, pl.ds(kv_id * block_kv, block_kv), :]
+        dst_v = dv_hbm.at[h, pl.ds(kv_id * block_kv, block_kv), :]
 
-        @pl.when(jnp.logical_not((j == 0) & (s == 0)))
-        def _drain_prev_write():
-            pltpu.make_async_copy(dq_scr, dst, wsem).wait()
+        def _drain(p):
+            pltpu.make_async_copy(dkv_scr.at[p, 0], dst_k, wsem.at[p, 0]).wait()
+            pltpu.make_async_copy(dkv_scr.at[p, 1], dst_v, wsem.at[p, 1]).wait()
+            pend_scr[p] = 0
 
-        rd = pltpu.make_async_copy(dst, dq_scr, rsem)
+        @pl.when(pend_scr[par] == 1)
+        def _drain_reuse():
+            _drain(par)
+
+        @pl.when((conflict == 1) & (pend_scr[1 - par] == 1))
+        def _drain_conflict():
+            _drain(1 - par)
+
+        rd_k = pltpu.make_async_copy(dst_k, dkv_scr.at[par, 0], rsem.at[0])
+        rd_v = pltpu.make_async_copy(dst_v, dkv_scr.at[par, 1], rsem.at[1])
 
         @pl.when(first == 0)
-        def _start_read():
-            rd.start()
+        def _start_reads():
+            rd_k.start()
+            rd_v.start()
 
         k = k_ref[0]
         v = v_ref[0]
-        k_pos = offs_ref[1] + j * block_kv + jax.lax.broadcasted_iota(
+        # k-major orientation: rows = kv positions, lanes = q positions.
+        k_pos = offs_ref[1] + kv_id * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, (block_kv, block_q), 0
         )
-        q_pos = offs_ref[0] + q_id * block_q + jax.lax.broadcasted_iota(
+        q_pos = offs_ref[0] + i * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_kv, block_q), 1
         )
         ld_col = jnp.expand_dims(ld_ref[0], -1)
@@ -754,9 +778,9 @@ def _dqdkv_kernel(
         mask = mask | (typ == 2)
         bias = jnp.where(mask, 0.0, MASK_VALUE)
 
-        partials = []
         for gi in range(group):
-            q = q_ref[0, gi]
+            sl = slice(gi * block_q, (gi + 1) * block_q)
+            q = q_ref[0, gi]  # [bq, dh]
             do = do_ref[0, gi]
             lse_row = lse_ref[0, gi : gi + 1, :]  # [1, bq]
             di_row = di_ref[0, gi : gi + 1, :]
@@ -771,7 +795,7 @@ def _dqdkv_kernel(
                 + bias
             )  # [bkv, bq]
             p = jnp.exp(st - lse_row)
-            dv_scr[...] += jax.lax.dot_general(
+            dv_p = jax.lax.dot_general(
                 p.astype(do.dtype),
                 do,
                 (((1,), (0,)), ((), ())),
@@ -781,123 +805,161 @@ def _dqdkv_kernel(
                 v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
             )
             ds = (dp - di_row) * p * scale
-            dk_scr[...] += jax.lax.dot_general(
+            dk_p = jax.lax.dot_general(
                 ds.astype(q.dtype),
                 q,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # [bkv, dh]
-            partials.append(
-                jax.lax.dot_general(
-                    ds.astype(k.dtype),
-                    k,
-                    (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # [bq, dh]
-            )
+            dq_scr[sl] += jax.lax.dot_general(
+                ds.astype(k.dtype),
+                k,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [bq, dh]
+            if gi == 0:
+                dk_acc, dv_acc = dk_p, dv_p
+            else:
+                dk_acc, dv_acc = dk_acc + dk_p, dv_acc + dv_p
 
         @pl.when(first == 0)
-        def _wait_read():
-            rd.wait()
+        def _wait_reads():
+            rd_k.wait()
+            rd_v.wait()
 
         revisit = first == 0
-        for gi in range(group):
-            prev = jnp.where(revisit, dq_scr[gi], 0.0)
-            dq_scr[gi] = prev + partials[gi]
-        pltpu.make_async_copy(dq_scr, dst, wsem).start()
+        dkv_scr[par, 0] = jnp.where(revisit, dkv_scr[par, 0], 0.0) + dk_acc
+        dkv_scr[par, 1] = jnp.where(revisit, dkv_scr[par, 1], 0.0) + dv_acc
+        pltpu.make_async_copy(dkv_scr.at[par, 0], dst_k, wsem.at[par, 0]).start()
+        pltpu.make_async_copy(dkv_scr.at[par, 1], dst_v, wsem.at[par, 1]).start()
+        pend_scr[par] = 1
 
     @pl.when(s == count - 1)
     def _emit():
-        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
-        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+        for gi in range(group):
+            sl = slice(gi * block_q, (gi + 1) * block_q)
+            dq_ref[0, gi] = dq_scr[sl].astype(dq_ref.dtype)
 
-    @pl.when((j == nk - 1) & (s == slots - 1))
+    @pl.when((i == nq - 1) & (s == slots - 1))
     def _final_drain():
-        # ≥1 compute step ran for this h (diagonal pairs always exist), so a
-        # write is pending here; the descriptor's target address is
-        # irrelevant to the semaphore wait — only the transfer size matters.
-        pltpu.make_async_copy(
-            dq_hbm.at[h, :, pl.ds(0, block_q), :], dq_scr, wsem
-        ).wait()
+        # the descriptor's target address is irrelevant to a semaphore
+        # wait — only the transfer size matters
+        for p in (0, 1):
+
+            @pl.when(pend_scr[p] == 1)
+            def _(p=p):
+                pltpu.make_async_copy(
+                    dkv_scr.at[p, 0], dk_hbm.at[h, pl.ds(0, block_kv), :],
+                    wsem.at[p, 0],
+                ).wait()
+                pltpu.make_async_copy(
+                    dkv_scr.at[p, 1], dv_hbm.at[h, pl.ds(0, block_kv), :],
+                    wsem.at[p, 1],
+                ).wait()
+                pend_scr[p] = 0
+
+
+def _rmw_visit_marks(ids, types, n_blocks):
+    """Per-(i, s) int32 (first, conflict, parity) for the fused kernel's
+    read-modify-write schedule, in (i asc, s asc) traversal order over valid
+    slots (padding slots repeat earlier ids and never count):
+
+    * first    — first valid visit of block ``ids[i, s]`` (overwrites).
+    * conflict — same block as the immediately preceding valid visit (its
+      in-flight write must drain before this visit's read).
+    * parity   — alternates over valid visits (scratch-buffer index).
+
+    Tiny [rows, slots] work, computed on device so BlockMeta needs no new
+    field."""
+    flat = ids.reshape(-1)
+    validm = types.reshape(-1) > 0
+    m = flat.shape[0]
+    sentinel = jnp.int32(m)
+    idx = jnp.arange(m, dtype=jnp.int32)
+    pos = jnp.where(validm, idx, sentinel)
+    firstpos = jnp.full((n_blocks,), sentinel, jnp.int32).at[flat].min(
+        pos, mode="drop"
+    )
+    first = validm & (pos == firstpos[flat])
+    # index of the previous valid entry (exclusive running max of valid idx)
+    prev = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(validm, idx, -1)
+    )
+    prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32), prev[:-1]])
+    conflict = validm & (prev >= 0) & (flat[jnp.maximum(prev, 0)] == flat)
+    parity = jnp.where(validm, (jnp.cumsum(validm) - 1) % 2, 0)
+    out = jnp.stack(
+        [first.astype(jnp.int32), conflict.astype(jnp.int32),
+         parity.astype(jnp.int32)],
+        axis=-1,
+    )
+    return out.reshape(ids.shape + (3,))
 
 
 def _first_visit_marks(q_ids, q_types, nq):
-    """1 where (j, s) is the first valid visit of q block q_ids[j, s] in
-    (j asc, s asc) traversal order (padding slots repeat earlier ids and
-    never count). Tiny [nk, slots] int32 work, computed on device so BlockMeta
-    needs no new field."""
-    flat = q_ids.reshape(-1)
-    validm = q_types.reshape(-1) > 0
-    sentinel = jnp.int32(flat.shape[0])
-    pos = jnp.where(
-        validm, jnp.arange(flat.shape[0], dtype=jnp.int32), sentinel
-    )
-    firstpos = jnp.full((nq,), sentinel, jnp.int32).at[flat].min(
-        pos, mode="drop"
-    )
-    return (validm & (pos == firstpos[flat])).astype(jnp.int32).reshape(
-        q_ids.shape
-    )
+    """First-visit component of `_rmw_visit_marks` (kept for tests)."""
+    return _rmw_visit_marks(q_ids, q_types, nq)[..., 0]
 
 
-def _bwd_fused(q4, k, v, ld2, q_ids, q_counts, q_types, do, lse, di, scale, bs,
-               interpret, offs=None):
+def _bwd_fused(q4, k, v, ld2, kv_ids, kv_counts, kv_types, do, lse, di, scale,
+               bs, interpret, offs=None):
     hkv, group, n, dh = q4.shape
     nkv = k.shape[1]
     bq, bkv = bs.block_q, bs.block_kv
-    nk = nkv // bkv
-    slots = q_ids.shape[1]
+    nq = n // bq
+    slots = kv_ids.shape[1]
     if offs is None:
         offs = jnp.zeros((2,), jnp.int32)
-    q_first = _first_visit_marks(q_ids, q_types, n // bq)
+    aux = _rmw_visit_marks(kv_ids, kv_types, nkv // bkv)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(hkv, nk, slots),
+        grid=(hkv, nq, slots),
         in_specs=[
-            pl.BlockSpec((1, group, bq, dh), lambda h, j, s, off, ids, *_: (h, 0, ids[j, s], 0)),
-            pl.BlockSpec((1, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
-            pl.BlockSpec((1, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
+            pl.BlockSpec((1, group, bq, dh), lambda h, i, s, *_: (h, 0, i, 0)),
+            pl.BlockSpec((1, bkv, dh), lambda h, i, s, off, ids, *_: (h, ids[i, s], 0)),
+            pl.BlockSpec((1, bkv, dh), lambda h, i, s, off, ids, *_: (h, ids[i, s], 0)),
             pl.BlockSpec(
-                (1, bkv), lambda h, j, s, off, *_: (0, off[1] // bkv + j)
+                (1, bkv),
+                lambda h, i, s, off, ids, *_: (0, off[1] // bkv + ids[i, s]),
             ),
-            pl.BlockSpec((1, group, bq, dh), lambda h, j, s, off, ids, *_: (h, 0, ids[j, s], 0)),
-            pl.BlockSpec((1, group, bq), lambda h, j, s, off, ids, *_: (h, 0, ids[j, s])),
-            pl.BlockSpec((1, group, bq), lambda h, j, s, off, ids, *_: (h, 0, ids[j, s])),
+            pl.BlockSpec((1, group, bq, dh), lambda h, i, s, *_: (h, 0, i, 0)),
+            pl.BlockSpec((1, group, bq), lambda h, i, s, *_: (h, 0, i)),
+            pl.BlockSpec((1, group, bq), lambda h, i, s, *_: (h, 0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((1, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
-            pl.BlockSpec((1, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
+            pl.BlockSpec((1, group, bq, dh), lambda h, i, s, *_: (h, 0, i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bkv, dh), jnp.float32),
-            pltpu.VMEM((bkv, dh), jnp.float32),
-            pltpu.VMEM((group, bq, dh), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((group * bq, dh), jnp.float32),
+            pltpu.VMEM((2, 2, bkv, dh), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
     kernel = functools.partial(
         _dqdkv_kernel, scale=scale, block_q=bq, block_kv=bkv, group=group,
-        nk=nk, slots=slots,
+        nq=nq, slots=slots,
     )
-    dk, dv, dqf = pl.pallas_call(
+    dq, dkf, dvf = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct(k.shape, k.dtype),
-            jax.ShapeDtypeStruct(v.shape, v.dtype),
-            jax.ShapeDtypeStruct(q4.shape, jnp.float32),
+            jax.ShapeDtypeStruct(q4.shape, q4.dtype),
+            jax.ShapeDtypeStruct(k.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v.shape, jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
         interpret=_interpret_mode(interpret),
         name="tree_attention_bwd_fused",
-    )(offs.astype(jnp.int32), q_ids, q_counts, q_types, q_first,
+    )(offs.astype(jnp.int32), kv_ids, kv_counts, kv_types, aux,
       q4, k, v, ld2, do, lse, di)
-    return dqf.astype(q4.dtype), dk, dv
+    return dq, dkf.astype(k.dtype), dvf.astype(v.dtype)
 
 
 # -------------------------------------------------------------------- custom_vjp
@@ -991,7 +1053,7 @@ def _tree_attention_bwd(scale, block_sizes, interpret, softmax_mode, bwd_mode,
     di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [hkv,g,n]
     if bwd_mode == "fused":
         dq, dk, dv = _bwd_fused(
-            q4, k, v, ld2, q_ids, q_counts, q_types, do, lse, di, scale,
+            q4, k, v, ld2, kv_ids, kv_counts, kv_types, do, lse, di, scale,
             block_sizes, interpret,
         )
         return (dq, dk, dv, None, None, None, None, None, None, None)

@@ -231,32 +231,39 @@ def test_pallas_interpret_forward_tiny():
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
-def test_first_visit_marks_oracle(seed):
-    """The fused backward's first-visit metadata (which grid step initializes
-    each dq block instead of read-modify-writing it) vs a python oracle, on
-    real random-trie block metadata."""
-    from dynamictreeattn_tpu.ops.tree_attention import _first_visit_marks
+def test_rmw_visit_marks_oracle(seed):
+    """The fused backward's read-modify-write schedule metadata
+    (first-visit / conflict-with-previous / buffer parity per grid step)
+    vs a python oracle, on real random-trie block metadata."""
+    from dynamictreeattn_tpu.ops.tree_attention import _rmw_visit_marks
 
     rng = np.random.default_rng(seed)
     block, n = 32, 256
     _, _, packed, meta = random_packed(rng, n, block, n_seqs=10, max_len=40)
-    nq = n // block
+    nk = n // block
     got = np.asarray(
-        _first_visit_marks(
-            jnp.asarray(meta.q_ids), jnp.asarray(meta.q_types), nq
+        _rmw_visit_marks(
+            jnp.asarray(meta.kv_ids), jnp.asarray(meta.kv_types), nk
         )
     )
-    seen = set()
+    seen: set = set()
+    prev = None
+    nvalid = 0
     want = np.zeros_like(got)
-    for j in range(meta.q_ids.shape[0]):
-        for s in range(meta.q_ids.shape[1]):
-            if meta.q_types[j, s] > 0 and meta.q_ids[j, s] not in seen:
-                seen.add(meta.q_ids[j, s])
-                want[j, s] = 1
+    for i in range(meta.kv_ids.shape[0]):
+        for s in range(meta.kv_ids.shape[1]):
+            if meta.kv_types[i, s] > 0:
+                kv = meta.kv_ids[i, s]
+                want[i, s] = (
+                    kv not in seen, prev == kv, nvalid % 2
+                )
+                seen.add(kv)
+                prev = kv
+                nvalid += 1
     np.testing.assert_array_equal(got, want)
-    # every q block is visited (diagonal pairs always exist) — the fused
-    # kernel relies on this to initialize every dq block
-    assert len(seen) == nq
+    # every kv block is visited (diagonal pairs always exist) — the fused
+    # kernel relies on this to initialize every dk/dv block
+    assert len(seen) == nk
 
 
 @pytest.mark.skipif(
