@@ -157,14 +157,17 @@ def _layer_step_decode(x, lp, cos, sin, ck, cv, plen, lp0, t,
     st_s = jnp.sum(
         qh.astype(jnp.float32) * k.astype(jnp.float32)[:, None, :], axis=-1
     ) * scale  # [hkv, grp]
-    p = jax.nn.softmax(
-        jnp.concatenate([st, st_s[..., None]], axis=-1), axis=-1
-    )
+    # two-piece online softmax merge (cache / self) — no concatenated row
+    # materialization (see _layer_step_grouped)
+    m = jnp.maximum(jnp.max(st, axis=-1), st_s)  # [hkv, grp]
+    pc = jnp.exp(st - m[..., None])
+    ps = jnp.exp(st_s - m)
+    l = jnp.sum(pc, axis=-1) + ps
     o = jnp.einsum(
-        "krj,kjd->krd", p[..., :Lmax].astype(cv.dtype), cv,
+        "krj,kjd->krd", pc.astype(cv.dtype), cv,
         preferred_element_type=jnp.float32,
-    ) + p[..., -1:] * v.astype(jnp.float32)[:, None, :]
-    o = o.reshape(hq * dh).astype(x.dtype)
+    ) + ps[..., None] * v.astype(jnp.float32)[:, None, :]
+    o = (o / l[..., None]).reshape(hq * dh).astype(x.dtype)
     x = x + o @ lp["wo"]
 
     h = rms_norm(x, lp["ln2"], eps)
@@ -359,6 +362,54 @@ def _generate_jit(params, config, prompts, prompt_lens, key, max_new,
 # instead of G times.
 
 
+def _grouped_qkv(x, lp, cos, sin, config: Qwen3Config):
+    """Pre-attention of one grouped-decode layer for ONE prompt: x [G, d] →
+    post-rope (q [G, hq, dh], k/v [G, hkv, dh]). cos/sin [1, dh]: all
+    branches share the position."""
+    c = config
+    G = x.shape[0]
+    dh = c.head_dim
+    hq, hkv = c.num_attention_heads, c.num_key_value_heads
+    eps = c.rms_norm_eps
+    h = rms_norm(x, lp["ln1"], eps)
+    q = h @ lp["wq"]
+    k = h @ lp["wk"]
+    v = h @ lp["wv"]
+    if c.attention_bias:
+        q = q + lp["bq"]
+        k = k + lp["bk"]
+        v = v + lp["bv"]
+    q = q.reshape(G, hq, dh)
+    k = k.reshape(G, hkv, dh)
+    v = v.reshape(G, hkv, dh)
+    if c.use_qk_norm:
+        q = rms_norm(q, lp["q_norm"], eps)
+        k = rms_norm(k, lp["k_norm"], eps)
+    return apply_rope(q, cos, sin), apply_rope(k, cos, sin), v
+
+
+def _grouped_ffn(x, o_flat, lp, config: Qwen3Config):
+    """Post-attention of one grouped-decode layer for ONE prompt:
+    residual + wo, then MLP/MoE. x [G, d], o_flat [G, hq*dh]."""
+    c = config
+    G = x.shape[0]
+    eps = c.rms_norm_eps
+    x = x + o_flat.astype(x.dtype) @ lp["wo"]
+    h = rms_norm(x, lp["ln2"], eps)
+    if c.is_moe:
+        # batched dispatch with capacity=G is EXACT: an expert receives at
+        # most one (token, choice) pair per branch token, so <= G pairs —
+        # nothing can drop, matching the flat per-row decode (whose cap >= k
+        # at T=1 likewise never drops)
+        from dynamictreeattn_tpu.models.qwen3 import moe_apply, moe_route
+
+        w, idx, _lb = moe_route(h, lp["router"], c, None)
+        y = moe_apply(h, lp["e_gate"], lp["e_up"], lp["e_down"], idx, w, G)
+        return x + y.astype(x.dtype)
+    act = jax.nn.silu((h @ lp["gate"]).astype(jnp.float32)).astype(h.dtype)
+    return x + (act * (h @ lp["up"])) @ lp["down"]
+
+
 def _layer_step_grouped(x, lp, cos, sin, ckp, cvp, ckc, cvc, t, plen,
                         config: Qwen3Config):
     """One layer, one decode token for each of G branches of ONE prompt.
@@ -377,26 +428,10 @@ def _layer_step_grouped(x, lp, cos, sin, ckp, cvp, ckc, cvc, t, plen,
     dh = c.head_dim
     hq, hkv = c.num_attention_heads, c.num_key_value_heads
     grp = hq // hkv
-    eps = c.rms_norm_eps
     Lp = ckp.shape[1]
     Nc = ckc.shape[2]
 
-    h = rms_norm(x, lp["ln1"], eps)
-    q = h @ lp["wq"]
-    k = h @ lp["wk"]
-    v = h @ lp["wv"]
-    if c.attention_bias:
-        q = q + lp["bq"]
-        k = k + lp["bk"]
-        v = v + lp["bv"]
-    q = q.reshape(G, hq, dh)
-    k = k.reshape(G, hkv, dh)
-    v = v.reshape(G, hkv, dh)
-    if c.use_qk_norm:
-        q = rms_norm(q, lp["q_norm"], eps)
-        k = rms_norm(k, lp["k_norm"], eps)
-    q = apply_rope(q, cos, sin)  # cos/sin [1, dh]: all branches share pos
-    k = apply_rope(k, cos, sin)
+    q, k, v = _grouped_qkv(x, lp, cos, sin, c)
 
     # bf16 matmul operands, fp32 accumulation (see _layer_step note)
     qh = q.reshape(G, hkv, grp, dh).astype(ckp.dtype)
@@ -416,41 +451,30 @@ def _layer_step_grouped(x, lp, cos, sin, ckp, cvp, ckc, cvc, t, plen,
     st_s = jnp.sum(
         qh.astype(jnp.float32) * kb.astype(jnp.float32)[:, :, None, :], axis=-1
     ) * scale  # [G, hkv, grp] — current token attends to itself
-    p = jax.nn.softmax(
-        jnp.concatenate([st_p, st_c, st_s[..., None]], axis=-1), axis=-1
-    )
-    pp = p[..., :Lp].astype(cvp.dtype)
-    pc = p[..., Lp:Lp + Nc].astype(cvc.dtype)
-    ps = p[..., -1]  # [G, hkv, grp] fp32
+    # three-piece online softmax merge (prompt / completion / self): never
+    # materializes the concatenated [.., Lp+Nc+1] score row — the concat +
+    # softmax + split formulation cost two extra HBM passes over it per
+    # layer, a measurable slice of the decode step at GRPO shapes
+    m = jnp.maximum(
+        jnp.maximum(jnp.max(st_p, axis=-1), jnp.max(st_c, axis=-1)), st_s
+    )  # [G, hkv, grp]
+    pp = jnp.exp(st_p - m[..., None])
+    pc = jnp.exp(st_c - m[..., None])
+    ps = jnp.exp(st_s - m)
+    l = jnp.sum(pp, axis=-1) + jnp.sum(pc, axis=-1) + ps  # [G, hkv, grp]
     o = jnp.einsum(
-        "gkrj,kjd->gkrd", pp, cvp,
+        "gkrj,kjd->gkrd", pp.astype(cvp.dtype), cvp,
         preferred_element_type=jnp.float32,
     ) + jnp.einsum(
-        "gkrj,gkjd->gkrd", pc, cvc,
+        "gkrj,gkjd->gkrd", pc.astype(cvc.dtype), cvc,
         preferred_element_type=jnp.float32,
     ) + ps[..., None] * v.astype(jnp.float32)[:, :, None, :]
-    o = o.reshape(G, hq * dh).astype(x.dtype)
-    x = x + o @ lp["wo"]
-
-    h = rms_norm(x, lp["ln2"], eps)
-    if c.is_moe:
-        # batched dispatch with capacity=G is EXACT: an expert receives at
-        # most one (token, choice) pair per branch token, so <= G pairs —
-        # nothing can drop, matching the flat per-row decode (whose cap >= k
-        # at T=1 likewise never drops)
-        from dynamictreeattn_tpu.models.qwen3 import moe_apply, moe_route
-
-        w, idx, _lb = moe_route(h, lp["router"], c, None)
-        y = moe_apply(h, lp["e_gate"], lp["e_up"], lp["e_down"], idx, w, G)
-        x = x + y.astype(x.dtype)
-        return x, k, v
-    act = jax.nn.silu((h @ lp["gate"]).astype(jnp.float32)).astype(h.dtype)
-    x = x + (act * (h @ lp["up"])) @ lp["down"]
-    return x, k, v
+    o = (o / l[..., None]).reshape(G, hq * dh)
+    return _grouped_ffn(x, o, lp, c), k, v
 
 
 def _decode_step_grouped(params, c: Qwen3Config, tok, plens, t, ckp, cvp,
-                         ckc, cvc):
+                         ckc, cvc, backend: str = "xla"):
     """One decode token for all [P, G] branches. tok [P, G]; ckp/cvp
     [L, P, Hkv, Lp, dh] frozen; ckc/cvc [L, P, G, Hkv, Nc, dh] updated at
     slot t. Returns (logits [P, G, V] fp32, ckc, cvc).
@@ -459,23 +483,51 @@ def _decode_step_grouped(params, c: Qwen3Config, tok, plens, t, ckp, cvp,
     [P, G, Hkv, dh]; both caches get ONE dynamic_update_slice at slot t per
     step, on the decode loop's carry — which XLA performs in place. (The
     previous formulation updated the caches inside the layer scan as stacked
-    outputs, making XLA materialize a full cache copy every step.)"""
+    outputs, making XLA materialize a full cache copy every step.)
+
+    backend="pallas" runs the attention of each layer as ONE fused
+    decode-attention kernel over all (prompt, branch) pairs
+    (ops/decode_attention.py): scores stay in VMEM and completion-cache
+    columns ≥ t are never read. Requires Lp/Nc chunk-divisible — the
+    sampler pads its cache allocations."""
     x = jnp.take(params["embed"], tok, axis=0)  # [P, G, d]
     cos, sin = rope_tables(plens + t, c.head_dim, c.rope_theta,
                            c.rope_scaling_tuple)  # [P, dh]
 
-    def scan_fn(x, inp):
-        lp, kp, vp, kc, vc = inp
-
-        def per_prompt(xg, cosg, sing, plen, kp1, vp1, kc1, vc1):
-            return _layer_step_grouped(
-                xg, lp, cosg[None], sing[None], kp1, vp1, kc1, vc1, t, plen, c
-            )
-
-        x, k_new, v_new = jax.vmap(per_prompt)(
-            x, cos, sin, plens, kp, vp, kc, vc
+    if backend == "pallas":
+        from dynamictreeattn_tpu.ops.decode_attention import (
+            decode_attention_grouped,
         )
-        return x, (k_new, v_new)
+
+        def scan_fn(x, inp):
+            lp, kp, vp, kc, vc = inp
+            q, k_new, v_new = jax.vmap(
+                lambda xg, cg, sg: _grouped_qkv(xg, lp, cg[None], sg[None], c)
+            )(x, cos, sin)  # q [P, G, hq, dh]; k/v [P, G, hkv, dh]
+            o = decode_attention_grouped(
+                q.astype(kp.dtype), k_new.astype(kp.dtype),
+                v_new.astype(kp.dtype), kp, vp, kc, vc, plens, t,
+            )
+            P, G = x.shape[:2]
+            x = jax.vmap(lambda xg, og: _grouped_ffn(xg, og, lp, c))(
+                x, o.reshape(P, G, -1)
+            )
+            return x, (k_new, v_new)
+    else:
+
+        def scan_fn(x, inp):
+            lp, kp, vp, kc, vc = inp
+
+            def per_prompt(xg, cosg, sing, plen, kp1, vp1, kc1, vc1):
+                return _layer_step_grouped(
+                    xg, lp, cosg[None], sing[None], kp1, vp1, kc1, vc1, t,
+                    plen, c,
+                )
+
+            x, k_new, v_new = jax.vmap(per_prompt)(
+                x, cos, sin, plens, kp, vp, kc, vc
+            )
+            return x, (k_new, v_new)
 
     x, (k_new, v_new) = jax.lax.scan(
         scan_fn, x, (params["layers"], ckp, cvp, ckc, cvc)
@@ -495,14 +547,26 @@ def _decode_step_grouped(params, c: Qwen3Config, tok, plens, t, ckp, cvp,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "group", "max_new", "greedy", "use_eos"),
+    static_argnames=("config", "group", "max_new", "greedy", "use_eos",
+                     "backend"),
 )
 def _generate_grouped_jit(params, config, prompts, prompt_lens, key, group,
-                          max_new, temperature, greedy, use_eos, eos_id):
+                          max_new, temperature, greedy, use_eos, eos_id,
+                          backend="xla"):
     P, Lp = prompts.shape
     G = group
     c = config
     dtype = params["layers"]["wq"].dtype
+    n_alloc = max_new
+    if backend == "pallas":
+        # the decode kernel chunks the caches; pad the prompt buffer and the
+        # completion-cache allocation to chunk multiples (padding columns are
+        # masked by plen/t)
+        lp_pad = -(-Lp // 512) * 512
+        if lp_pad != Lp:
+            prompts = jnp.pad(prompts, ((0, 0), (0, lp_pad - Lp)))
+            Lp = lp_pad
+        n_alloc = -(-max_new // 256) * 256
 
     # ---- prefill each prompt ONCE (cache sized to the prompt only); LM
     # head only on the last hidden state per prompt
@@ -539,14 +603,15 @@ def _generate_grouped_jit(params, config, prompts, prompt_lens, key, group,
                   k0)  # [P, G]
 
     ckc = jnp.zeros(
-        (c.num_hidden_layers, P, G, c.num_key_value_heads, max_new,
+        (c.num_hidden_layers, P, G, c.num_key_value_heads, n_alloc,
          c.head_dim), dtype,
     )
     cvc = jnp.zeros_like(ckc)
 
     def step_fn(tok, t, ckc, cvc, key):
         logits, ckc, cvc = _decode_step_grouped(
-            params, c, tok, prompt_lens, t, ckp, cvp, ckc, cvc
+            params, c, tok, prompt_lens, t, ckp, cvp, ckc, cvc,
+            backend=backend,
         )
         key, kt = jax.random.split(key)
         return sample(logits, kt), ckc, cvc, key
@@ -588,7 +653,7 @@ def _generate_grouped_jit(params, config, prompts, prompt_lens, key, group,
 def generate_grouped(params, config: Qwen3Config, prompts, prompt_lens,
                      group: int, max_new: int, key=None,
                      temperature: float = 1.0, greedy: bool = False,
-                     eos_id: int | None = None):
+                     eos_id: int | None = None, backend: str = "auto"):
     """Sample `group` completions per prompt with a SHARED prompt KV cache.
 
     prompts [P, Lp] int32 (right-padded), prompt_lens [P] — returns
@@ -598,16 +663,22 @@ def generate_grouped(params, config: Qwen3Config, prompts, prompt_lens,
     G-times-duplicated prompt batch (greedy-parity-tested), at 1/G of the
     prefill compute and prompt-KV footprint — the rollout-side mirror of the
     tree-training engine's prefix sharing. With `eos_id`, tokens after a
-    sampled eos are forced to eos (truncate host-side)."""
+    sampled eos are forced to eos (truncate host-side).
+
+    backend: "auto" (pallas decode-attention kernel on TPU, plain XLA
+    elsewhere) | "pallas" | "xla"."""
     import numpy as np
 
     if key is None:
         key = jax.random.key(0)
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
     return np.asarray(_generate_grouped_jit(
         params, config, jnp.asarray(prompts, jnp.int32),
         jnp.asarray(prompt_lens, jnp.int32), key, int(group), int(max_new),
         jnp.float32(temperature), bool(greedy),
         eos_id is not None, jnp.int32(eos_id if eos_id is not None else 0),
+        backend=backend,
     ))
 
 

@@ -4,6 +4,8 @@ The reference delegates rollouts to its host framework; this sampler makes
 the build self-contained — the oracle is HF's own generate() on the same
 weights."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -251,3 +253,59 @@ def test_grouped_eos_mode_matches_free_run_prefix():
             cut = (hits[0] + 1) if len(hits) else 12
             np.testing.assert_array_equal(out[p, g, :cut], free[p, g, :cut])
             assert np.all(out[p, g, cut:] == eos)
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_INTERPRET"),
+    reason="Pallas interpret-mode compile is slow; opt in with RUN_INTERPRET=1. "
+    "Real-kernel parity runs on TPU via scripts/tpu_generate_ab.py.",
+)
+@pytest.mark.parametrize("t", [0, 1, 100, 255])
+def test_decode_attention_kernel_matches_oracle(t):
+    """ops/decode_attention.py vs the concatenated-softmax oracle at several
+    decode positions (t=0: empty branch caches — all chunks skipped)."""
+    from dynamictreeattn_tpu.ops.decode_attention import (
+        decode_attention_grouped,
+    )
+
+    def oracle(q, k_self, v_self, kp, vp, kc, vc, plens, t, scale):
+        P, G, hq, dh = q.shape
+        hkv, Lp = kp.shape[1], kp.shape[2]
+        Nc = kc.shape[3]
+        grp = hq // hkv
+        qh = q.reshape(P, G, hkv, grp, dh)
+        st_p = jnp.einsum("pgkrd,pkjd->pgkrj", qh, kp) * scale
+        st_p = jnp.where(
+            jnp.arange(Lp) < plens[:, None, None, None, None], st_p, -1e30
+        )
+        st_c = jnp.einsum("pgkrd,pgkjd->pgkrj", qh, kc) * scale
+        st_c = jnp.where(jnp.arange(Nc) < t, st_c, -1e30)
+        st_s = jnp.einsum("pgkrd,pgkd->pgkr", qh, k_self) * scale
+        st = jnp.concatenate([st_p, st_c, st_s[..., None]], axis=-1)
+        p = jax.nn.softmax(st, axis=-1)
+        o = (jnp.einsum("pgkrj,pkjd->pgkrd", p[..., :Lp], vp)
+             + jnp.einsum("pgkrj,pgkjd->pgkrd", p[..., Lp:Lp + Nc], vc)
+             + p[..., -1:] * v_self[:, :, :, None, :])
+        return o.reshape(P, G, hq, dh)
+
+    P, G, hq, hkv, dh = 2, 4, 4, 2, 128
+    Lp, Nc = 512, 256
+    ks = jax.random.split(jax.random.key(0), 7)
+    f32 = jnp.float32
+    q = jax.random.normal(ks[0], (P, G, hq, dh), f32)
+    k_self = jax.random.normal(ks[1], (P, G, hkv, dh), f32)
+    v_self = jax.random.normal(ks[2], (P, G, hkv, dh), f32)
+    kp = jax.random.normal(ks[3], (P, hkv, Lp, dh), f32)
+    vp = jax.random.normal(ks[4], (P, hkv, Lp, dh), f32)
+    kc = jax.random.normal(ks[5], (P, G, hkv, Nc, dh), f32)
+    vc = jax.random.normal(ks[6], (P, G, hkv, Nc, dh), f32)
+    plens = jnp.array([300, 512], jnp.int32)
+    with jax.default_matmul_precision("highest"):
+        got = decode_attention_grouped(
+            q, k_self, v_self, kp, vp, kc, vc, plens, jnp.int32(t),
+            prompt_chunk=256, branch_chunk=128, interpret=True,
+        )
+        want = oracle(q, k_self, v_self, kp, vp, kc, vc, plens, t, dh ** -0.5)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5
+    )
