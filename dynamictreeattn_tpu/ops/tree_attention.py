@@ -309,8 +309,11 @@ def _fwd_bound_kernel(
             l_col = jnp.transpose(l_scr[0:1, sl])  # [bq, 1]
             inv = jnp.where(l_col == 0.0, 1.0, 1.0 / l_col)
             o_ref[0, gi] = (acc_scr[sl] * inv).astype(o_ref.dtype)
-            logl_ref[0, gi] = jnp.broadcast_to(
-                jnp.log(jnp.maximum(l_col, 1e-30)), (block_q, NUM_LANES)
+            # lane-major [1, bq] store — the lse output is compact [.., n]
+            # (the online kernel's [.., n, 128] broadcast wrote 128x the
+            # bytes and needed an XLA slice pass afterwards)
+            logl_ref[0, gi : gi + 1] = jnp.log(
+                jnp.maximum(l_scr[0:1, sl], 1e-30)
             )
 
 
@@ -356,8 +359,8 @@ def _fwd_bound(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret,
         out_specs=[
             pl.BlockSpec((1, group, bq, dh), lambda h, i, s, off, ids, cnt, typ: (h, 0, i, 0)),
             pl.BlockSpec(
-                (1, group, bq, NUM_LANES),
-                lambda h, i, s, off, ids, cnt, typ: (h, 0, i, 0),
+                (1, group, bq),
+                lambda h, i, s, off, ids, cnt, typ: (h, 0, i),
             ),
         ],
         scratch_shapes=[
@@ -373,7 +376,7 @@ def _fwd_bound(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(q4.shape, q4.dtype),
-            jax.ShapeDtypeStruct((hkv, group, n, NUM_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((hkv, group, n), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
@@ -381,7 +384,7 @@ def _fwd_bound(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret,
         interpret=_interpret_mode(interpret),
         name="tree_attention_fwd_bound",
     )(offs.astype(jnp.int32), kv_ids, kv_counts, kv_types, q4, k, v, ld2, c)
-    return o, c + logl[..., 0]  # lse: [hkv, group, n]
+    return o, c + logl  # lse: [hkv, group, n]
 
 
 # ---------------------------------------------------------------------------- dq
