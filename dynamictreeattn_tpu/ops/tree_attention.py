@@ -153,7 +153,11 @@ def _fwd_kernel(
             l = l_scr[sl][:, :1]
             inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
             o_ref[0, gi] = (acc_scr[sl] * inv).astype(o_ref.dtype)
-            lse_ref[0, gi] = m_scr[sl] + jnp.log(jnp.maximum(l_scr[sl], 1e-30))
+            # stats are sublane-major [bq, 1]; one transpose per emit buys a
+            # compact lane-major [1, bq] store (the fat [bq, 128] broadcast
+            # wrote 128x the bytes and needed an XLA slice pass after)
+            lse_col = m_scr[sl][:, :1] + jnp.log(jnp.maximum(l, 1e-30))
+            lse_ref[0, gi : gi + 1] = jnp.transpose(lse_col)
 
 
 def _fwd(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret,
@@ -184,8 +188,8 @@ def _fwd(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret,
         out_specs=[
             pl.BlockSpec((1, group, bq, dh), lambda h, i, s, off, ids, cnt, typ: (h, 0, i, 0)),
             pl.BlockSpec(
-                (1, group, bq, NUM_LANES),
-                lambda h, i, s, off, ids, cnt, typ: (h, 0, i, 0),
+                (1, group, bq),
+                lambda h, i, s, off, ids, cnt, typ: (h, 0, i),
             ),
         ],
         scratch_shapes=[
@@ -197,12 +201,12 @@ def _fwd(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret,
     kernel = functools.partial(
         _fwd_kernel, scale=scale, block_q=bq, block_kv=bkv, group=group
     )
-    o, lse_full = pl.pallas_call(
+    o, lse = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct(q4.shape, q4.dtype),
-            jax.ShapeDtypeStruct((hkv, group, n, NUM_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((hkv, group, n), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
@@ -210,7 +214,7 @@ def _fwd(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret,
         interpret=_interpret_mode(interpret),
         name="tree_attention_fwd",
     )(offs.astype(jnp.int32), kv_ids, kv_counts, kv_types, q4, k, v, ld2)
-    return o, lse_full[..., 0]  # lse: [hkv, group, n]
+    return o, lse  # [hkv, group, n]
 
 
 # --------------------------------------------------------------------- fwd/bound
