@@ -60,10 +60,10 @@ class EngineConfig:
     # no online-softmax chain — see ops/tree_attention.py) for qk-normed
     # models, "online" otherwise; or force either mode explicitly
     fwd_softmax: str = "auto"
-    # backward kernels: "auto"/"fused" = one kv-major kernel emits dq+dk+dv
-    # (computes the score/exp/dp chain once per block pair; dq accumulated
-    # via explicit HBM read-modify-write DMAs — ops/tree_attention.py);
-    # "split" = separate dq/dkv kernels
+    # backward kernels: "auto"/"fused" = one query-major kernel emits
+    # dq+dk+dv (computes the score/exp/dp chain once per block pair; dq in
+    # VMEM scratch, dk/dv via explicit HBM read-modify-write DMAs —
+    # ops/tree_attention.py); "split" = separate dq/dkv kernels
     bwd_mode: str = "auto"
     # "ladder": geometric (≤25% waste) length buckets so jit shapes repeat
     # across workloads (SURVEY.md §7.3 hard part 3); "exact": minimal padding
@@ -291,7 +291,14 @@ class TreeEngine:
         if extras is None:
             extras = {}
 
-        fn = self._custom_cache.get(id(loss_fn))
+        # Cache compiled steps per loss_fn. Keyed by id() for lookup speed,
+        # but guarded by a weakref to the original function: if a closure is
+        # garbage-collected and a new one lands on the recycled id, the
+        # stale jitted function must NOT be silently reused.
+        fn = None
+        hit = self._custom_cache.get(id(loss_fn))
+        if hit is not None and hit[0]() is loss_fn:
+            fn = hit[1]
         if fn is None:
 
             def total_loss(params, tokens, depth, parent, last_desc, meta,
@@ -306,7 +313,15 @@ class TreeEngine:
                 return jnp.sum(per_seq)
 
             fn = jax.jit(jax.value_and_grad(total_loss))
-            self._custom_cache[id(loss_fn)] = fn
+            import weakref
+
+            try:
+                ref = weakref.ref(loss_fn)
+            except TypeError:
+                # non-weakrefable callables (e.g. functools.partial): hold a
+                # strong ref so the id can never be recycled under us
+                ref = (lambda obj: (lambda: obj))(loss_fn)
+            self._custom_cache[id(loss_fn)] = (ref, fn)
         return fn(
             params, batch.tokens, batch.depth, batch.parent, batch.last_desc,
             batch.meta, batch.valid, paths, lengths, extras,

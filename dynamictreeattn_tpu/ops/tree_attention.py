@@ -1107,11 +1107,12 @@ def tree_attention(
 
     * ``"split"`` (default) — separate dq (query-major) and dkv (key-major)
       kernels, each recomputing scores/probabilities from the saved lse.
-    * ``"fused"`` — one key-major kernel emits dq+dk+dv, computing the
+    * ``"fused"`` — one query-major kernel emits dq+dk+dv, computing the
       score/exp/dp chain once per active block pair (the split pair does it
-      twice; the kernels are VPU-bound on that chain — docs/PERF.md). dq is
-      accumulated in fp32 HBM via explicit read-modify-write DMAs; see
-      ``_dqdkv_kernel``.
+      twice; the kernels are VPU-bound on that chain — docs/PERF.md). dq
+      accumulates in VMEM scratch (resident per q block, like the split dq
+      kernel); dk/dv accumulate in fp32 HBM via explicit double-buffered
+      read-modify-write DMAs; see ``_dqdkv_kernel``.
 
     softmax_mode:
 

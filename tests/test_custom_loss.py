@@ -54,6 +54,42 @@ def test_custom_linear_matches_fast_path():
     )
 
 
+def test_custom_loss_cache_no_stale_reuse_on_recycled_id():
+    """Two sequentially-created closures must not collide in the jit cache,
+    even when the GC recycles the first closure's id for the second
+    (the id(loss_fn)-keyed cache is guarded by a weakref to the function)."""
+    rng = np.random.default_rng(2)
+    seqs, attachs = random_trie_batch(rng, n_seqs=6, vocab=TINY.vocab_size, max_len=16)
+    params = init_params(TINY, jax.random.key(0), dtype=jnp.float32)
+    engine = TreeEngine(TINY, ECFG)
+    batch = engine.prepare(TokenTrie(seqs, attachs))
+
+    def make(scale):
+        def fn(lp, ent, extras, length):
+            m = (jnp.arange(lp.shape[0]) < length - 1).astype(jnp.float32)
+            return scale * jnp.sum(lp * m)
+
+        return fn
+
+    f1 = make(1.0)
+    l1, _ = engine.loss_and_grad_custom(params, batch, f1)
+    recycled = id(f1)
+    del f1  # allow id reuse
+    # create closures until one lands on the recycled id (usually immediate
+    # in CPython); bail out gracefully if the allocator never reuses it
+    f2 = None
+    for _ in range(64):
+        cand = make(2.0)
+        if id(cand) == recycled:
+            f2 = cand
+            break
+        # keep cand alive so the allocator must move on — drop at loop end
+    if f2 is None:
+        f2 = make(2.0)
+    l2, _ = engine.loss_and_grad_custom(params, batch, f2)
+    np.testing.assert_allclose(float(l2), 2.0 * float(l1), rtol=1e-5)
+
+
 def test_ppo_style_loss_tree_vs_dense():
     """Nonlinear per-sequence loss (clipped ratio vs behavior logprobs):
     tree == dense replay."""
