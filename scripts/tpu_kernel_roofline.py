@@ -31,7 +31,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from dynamictreeattn_tpu.ops import tree_attention as ta
+import sys as _sys
+import dynamictreeattn_tpu.ops.tree_attention  # noqa: F401
+ta = _sys.modules["dynamictreeattn_tpu.ops.tree_attention"]
 from dynamictreeattn_tpu.ops.tree_attention import BlockSizes, tree_attention
 from dynamictreeattn_tpu.tries import build_block_meta
 
