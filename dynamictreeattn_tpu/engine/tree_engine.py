@@ -149,14 +149,18 @@ class TreeEngine:
 
             packed = _pad_packed(packed, n_pad)
         meta = build_block_meta(packed.last_desc, cfg.block_q, cfg.block_kv)
-        # stabilize compiled shapes: pad slot widths to powers of two
-        meta = build_block_meta(
-            packed.last_desc,
-            cfg.block_q,
-            cfg.block_kv,
-            min_kv_slots=_next_pow2(meta.kv_ids.shape[1]),
-            min_q_slots=_next_pow2(meta.q_ids.shape[1]),
-        )
+        if cfg.bucketing != "exact":
+            # stabilize compiled shapes: pad slot widths to powers of two.
+            # "exact" mode keeps the minimal width — padded slots are cheap
+            # (~0.34us vs ~4.5us active) but 60%+ waste still costs ~5% of
+            # the kernel time at the bench shape (docs/PERF.md).
+            meta = build_block_meta(
+                packed.last_desc,
+                cfg.block_q,
+                cfg.block_kv,
+                min_kv_slots=_next_pow2(meta.kv_ids.shape[1]),
+                min_q_slots=_next_pow2(meta.q_ids.shape[1]),
+            )
         return TrieBatch(
             packed=packed,
             tokens=jnp.asarray(packed.tokens),

@@ -57,9 +57,21 @@ def _interpret_mode(interpret: bool):
 class BlockSizes:
     block_q: int = 512
     block_kv: int = 512
+    # kv heads processed per grid step. The tree mask depends only on
+    # positions, never on the head, so blocking heads shares one mask build
+    # across head_block*group q-tiles, and halves/quarters the grid (fewer
+    # padded-slot steps, fewer scratch init/emit steps). Measured on v5e at
+    # the bench shape (scripts/tpu_fwd_variants.py): bound fwd -17% at 4.
+    # Per-kernel launchers clamp to a divisor of n_kv_heads and to a
+    # VMEM-driven per-kernel cap.
+    head_block: int = 4
 
-    # dedicated backward block sizes could be added later; fwd sizes are used
-    # for all three kernels for now.
+
+def _eff_head_block(hkv: int, want: int, cap: int) -> int:
+    hb = max(1, min(want, cap, hkv))
+    while hkv % hb:
+        hb -= 1
+    return hb
 
 
 # --------------------------------------------------------------------------- fwd
@@ -93,6 +105,7 @@ def _fwd_kernel(
     s = pl.program_id(2)
     count = counts_ref[i]
     typ = types_ref[i, s]
+    hb = q_ref.shape[0]
 
     @pl.when(s == 0)
     def _init():
@@ -103,11 +116,9 @@ def _fwd_kernel(
     @pl.when(typ > 0)
     def _compute():
         kv_id = ids_ref[i, s]
-        k = k_ref[0]  # [bkv, dh]
-        v = v_ref[0]
-        # interval mask, shared across the q-head group; offs holds the
-        # global position offsets of this (q, kv) shard pair (0 outside
-        # ring-attention mode)
+        # interval mask, shared across head_block kv heads AND the q-head
+        # group (position-only); offs holds the global position offsets of
+        # this (q, kv) shard pair (0 outside ring-attention mode)
         row_pos = offs_ref[0] + i * block_q + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_kv), 0
         )
@@ -119,45 +130,54 @@ def _fwd_kernel(
         mask = mask | (typ == 2)
         bias = jnp.where(mask, 0.0, MASK_VALUE)
 
-        for gi in range(group):
-            sl = slice(gi * block_q, (gi + 1) * block_q)
-            q = q_ref[0, gi]  # [bq, dh]
-            st = (
-                jax.lax.dot_general(
-                    q,
-                    k,
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+        for hi in range(hb):
+            k = k_ref[hi]  # [bkv, dh]
+            v = v_ref[hi]
+            for gi in range(group):
+                t = hi * group + gi
+                sl = slice(t * block_q, (t + 1) * block_q)
+                q = q_ref[hi, gi]  # [bq, dh]
+                st = (
+                    jax.lax.dot_general(
+                        q,
+                        k,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                    + bias
                 )
-                * scale
-                + bias
-            )
-            m_prev = m_scr[sl]  # [bq, NUM_LANES]
-            l_prev = l_scr[sl]
-            m_cur = jnp.max(st, axis=1, keepdims=True)  # [bq, 1]
-            m_next = jnp.maximum(m_prev, jnp.broadcast_to(m_cur, m_prev.shape))
-            alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(st - m_next[:, :1])
-            l_cur = jnp.sum(p, axis=1, keepdims=True)
-            l_next = alpha * l_prev + jnp.broadcast_to(l_cur, l_prev.shape)
-            m_scr[sl] = m_next
-            l_scr[sl] = l_next
-            acc_scr[sl] = acc_scr[sl] * alpha[:, :1] + jax.lax.dot(
-                p.astype(v.dtype), v, preferred_element_type=jnp.float32
-            )
+                m_prev = m_scr[sl]  # [bq, NUM_LANES]
+                l_prev = l_scr[sl]
+                m_cur = jnp.max(st, axis=1, keepdims=True)  # [bq, 1]
+                m_next = jnp.maximum(
+                    m_prev, jnp.broadcast_to(m_cur, m_prev.shape)
+                )
+                alpha = jnp.exp(m_prev - m_next)
+                p = jnp.exp(st - m_next[:, :1])
+                l_cur = jnp.sum(p, axis=1, keepdims=True)
+                l_next = alpha * l_prev + jnp.broadcast_to(l_cur, l_prev.shape)
+                m_scr[sl] = m_next
+                l_scr[sl] = l_next
+                acc_scr[sl] = acc_scr[sl] * alpha[:, :1] + jax.lax.dot(
+                    p.astype(v.dtype), v, preferred_element_type=jnp.float32
+                )
 
     @pl.when(s == count - 1)
     def _emit():
-        for gi in range(group):
-            sl = slice(gi * block_q, (gi + 1) * block_q)
-            l = l_scr[sl][:, :1]
-            inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
-            o_ref[0, gi] = (acc_scr[sl] * inv).astype(o_ref.dtype)
-            # stats are sublane-major [bq, 1]; one transpose per emit buys a
-            # compact lane-major [1, bq] store (the fat [bq, 128] broadcast
-            # wrote 128x the bytes and needed an XLA slice pass after)
-            lse_col = m_scr[sl][:, :1] + jnp.log(jnp.maximum(l, 1e-30))
-            lse_ref[0, gi : gi + 1] = jnp.transpose(lse_col)
+        for hi in range(hb):
+            for gi in range(group):
+                t = hi * group + gi
+                sl = slice(t * block_q, (t + 1) * block_q)
+                l = l_scr[sl][:, :1]
+                inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+                o_ref[hi, gi] = (acc_scr[sl] * inv).astype(o_ref.dtype)
+                # stats are sublane-major [bq, 1]; one transpose per emit
+                # buys a compact lane-major [1, bq] store (the fat [bq, 128]
+                # broadcast wrote 128x the bytes and needed an XLA slice
+                # pass after)
+                lse_col = m_scr[sl][:, :1] + jnp.log(jnp.maximum(l, 1e-30))
+                lse_ref[hi, gi : gi + 1] = jnp.transpose(lse_col)
 
 
 def _fwd(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret,
@@ -169,7 +189,10 @@ def _fwd(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret,
     bq, bkv = bs.block_q, bs.block_kv
     nq = n // bq
     slots = kv_ids.shape[1]
-    grid = (hkv, nq, slots)
+    # online keeps 3 per-tile scratches (m, l, acc); cap hb*group*bq at 4096
+    # rows so they stay ~6MB of VMEM
+    hb = _eff_head_block(hkv, bs.head_block, max(1, 4096 // (group * bq)))
+    grid = (hkv // hb, nq, slots)
     if offs is None:
         offs = jnp.zeros((2,), jnp.int32)
 
@@ -177,25 +200,25 @@ def _fwd(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret,
         num_scalar_prefetch=4,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, group, bq, dh), lambda h, i, s, off, ids, cnt, typ: (h, 0, i, 0)),
-            pl.BlockSpec((1, bkv, dh), lambda h, i, s, off, ids, cnt, typ: (h, ids[i, s], 0)),
-            pl.BlockSpec((1, bkv, dh), lambda h, i, s, off, ids, cnt, typ: (h, ids[i, s], 0)),
+            pl.BlockSpec((hb, group, bq, dh), lambda h, i, s, off, ids, cnt, typ: (h, 0, i, 0)),
+            pl.BlockSpec((hb, bkv, dh), lambda h, i, s, off, ids, cnt, typ: (h, ids[i, s], 0)),
+            pl.BlockSpec((hb, bkv, dh), lambda h, i, s, off, ids, cnt, typ: (h, ids[i, s], 0)),
             pl.BlockSpec(
                 (1, bkv),
                 lambda h, i, s, off, ids, cnt, typ: (0, off[1] // bkv + ids[i, s]),
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, group, bq, dh), lambda h, i, s, off, ids, cnt, typ: (h, 0, i, 0)),
+            pl.BlockSpec((hb, group, bq, dh), lambda h, i, s, off, ids, cnt, typ: (h, 0, i, 0)),
             pl.BlockSpec(
-                (1, group, bq),
+                (hb, group, bq),
                 lambda h, i, s, off, ids, cnt, typ: (h, 0, i),
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((group * bq, NUM_LANES), jnp.float32),
-            pltpu.VMEM((group * bq, NUM_LANES), jnp.float32),
-            pltpu.VMEM((group * bq, dh), jnp.float32),
+            pltpu.VMEM((hb * group * bq, NUM_LANES), jnp.float32),
+            pltpu.VMEM((hb * group * bq, NUM_LANES), jnp.float32),
+            pltpu.VMEM((hb * group * bq, dh), jnp.float32),
         ],
     )
     kernel = functools.partial(
@@ -260,6 +283,7 @@ def _fwd_bound_kernel(
     s = pl.program_id(2)
     count = counts_ref[i]
     typ = types_ref[i, s]
+    hb = q_ref.shape[0]
 
     @pl.when(s == 0)
     def _init():
@@ -269,9 +293,8 @@ def _fwd_bound_kernel(
     @pl.when(typ > 0)
     def _compute():
         kv_id = ids_ref[i, s]
-        k = k_ref[0]  # [bkv, dh]
-        v = v_ref[0]
         # k-major orientation: rows = kv positions, lanes = q positions.
+        # One mask build shared across head_block kv heads x group q heads.
         k_pos = offs_ref[1] + kv_id * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, (block_kv, block_q), 0
         )
@@ -283,42 +306,48 @@ def _fwd_bound_kernel(
         mask = mask | (typ == 2)
         bias = jnp.where(mask, 0.0, MASK_VALUE)
 
-        for gi in range(group):
-            sl = slice(gi * block_q, (gi + 1) * block_q)
-            q = q_ref[0, gi]  # [bq, dh]
-            c_row = c_ref[0, gi : gi + 1, :]  # [1, bq]
-            st = (
-                jax.lax.dot_general(
-                    k,
-                    q,
-                    (((1,), (1,)), ((), ())),
+        for hi in range(hb):
+            k = k_ref[hi]  # [bkv, dh]
+            v = v_ref[hi]
+            for gi in range(group):
+                t = hi * group + gi
+                sl = slice(t * block_q, (t + 1) * block_q)
+                q = q_ref[hi, gi]  # [bq, dh]
+                c_row = c_ref[hi, gi : gi + 1, :]  # [1, bq]
+                st = (
+                    jax.lax.dot_general(
+                        k,
+                        q,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                    + bias
+                )  # [bkv, bq]
+                p = jnp.exp(st - c_row)
+                l_scr[0:1, sl] += jnp.sum(p, axis=0, keepdims=True)
+                acc_scr[sl] += jax.lax.dot_general(
+                    p.astype(v.dtype),
+                    v,
+                    (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
-                * scale
-                + bias
-            )  # [bkv, bq]
-            p = jnp.exp(st - c_row)
-            l_scr[0:1, sl] += jnp.sum(p, axis=0, keepdims=True)
-            acc_scr[sl] += jax.lax.dot_general(
-                p.astype(v.dtype),
-                v,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [bq, dh]
+                )  # [bq, dh]
 
     @pl.when(s == count - 1)
     def _emit():
-        for gi in range(group):
-            sl = slice(gi * block_q, (gi + 1) * block_q)
-            l_col = jnp.transpose(l_scr[0:1, sl])  # [bq, 1]
-            inv = jnp.where(l_col == 0.0, 1.0, 1.0 / l_col)
-            o_ref[0, gi] = (acc_scr[sl] * inv).astype(o_ref.dtype)
-            # lane-major [1, bq] store — the lse output is compact [.., n]
-            # (the online kernel's [.., n, 128] broadcast wrote 128x the
-            # bytes and needed an XLA slice pass afterwards)
-            logl_ref[0, gi : gi + 1] = jnp.log(
-                jnp.maximum(l_scr[0:1, sl], 1e-30)
-            )
+        for hi in range(hb):
+            for gi in range(group):
+                t = hi * group + gi
+                sl = slice(t * block_q, (t + 1) * block_q)
+                l_col = jnp.transpose(l_scr[0:1, sl])  # [bq, 1]
+                inv = jnp.where(l_col == 0.0, 1.0, 1.0 / l_col)
+                o_ref[hi, gi] = (acc_scr[sl] * inv).astype(o_ref.dtype)
+                # lane-major [1, bq] store — the lse output is compact [.., n]
+                # (the online kernel's [.., n, 128] broadcast wrote 128x the
+                # bytes and needed an XLA slice pass afterwards)
+                logl_ref[hi, gi : gi + 1] = jnp.log(
+                    jnp.maximum(l_scr[0:1, sl], 1e-30)
+                )
 
 
 def _score_bound(q4, k, scale):
@@ -341,7 +370,9 @@ def _fwd_bound(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret,
     bq, bkv = bs.block_q, bs.block_kv
     nq = n // bq
     slots = kv_ids.shape[1]
-    grid = (hkv, nq, slots)
+    # acc scratch rows = hb*group*bq; cap at 4096 (~2MB fp32 at dh=128)
+    hb = _eff_head_block(hkv, bs.head_block, max(1, 4096 // (group * bq)))
+    grid = (hkv // hb, nq, slots)
     if offs is None:
         offs = jnp.zeros((2,), jnp.int32)
     if c is None:
@@ -351,25 +382,25 @@ def _fwd_bound(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret,
         num_scalar_prefetch=4,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, group, bq, dh), lambda h, i, s, off, ids, cnt, typ: (h, 0, i, 0)),
-            pl.BlockSpec((1, bkv, dh), lambda h, i, s, off, ids, cnt, typ: (h, ids[i, s], 0)),
-            pl.BlockSpec((1, bkv, dh), lambda h, i, s, off, ids, cnt, typ: (h, ids[i, s], 0)),
+            pl.BlockSpec((hb, group, bq, dh), lambda h, i, s, off, ids, cnt, typ: (h, 0, i, 0)),
+            pl.BlockSpec((hb, bkv, dh), lambda h, i, s, off, ids, cnt, typ: (h, ids[i, s], 0)),
+            pl.BlockSpec((hb, bkv, dh), lambda h, i, s, off, ids, cnt, typ: (h, ids[i, s], 0)),
             pl.BlockSpec(
                 (1, bkv),
                 lambda h, i, s, off, ids, cnt, typ: (0, off[1] // bkv + ids[i, s]),
             ),
-            pl.BlockSpec((1, group, bq), lambda h, i, s, off, ids, cnt, typ: (h, 0, i)),
+            pl.BlockSpec((hb, group, bq), lambda h, i, s, off, ids, cnt, typ: (h, 0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((1, group, bq, dh), lambda h, i, s, off, ids, cnt, typ: (h, 0, i, 0)),
+            pl.BlockSpec((hb, group, bq, dh), lambda h, i, s, off, ids, cnt, typ: (h, 0, i, 0)),
             pl.BlockSpec(
-                (1, group, bq),
+                (hb, group, bq),
                 lambda h, i, s, off, ids, cnt, typ: (h, 0, i),
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, group * bq), jnp.float32),
-            pltpu.VMEM((group * bq, dh), jnp.float32),
+            pltpu.VMEM((1, hb * group * bq), jnp.float32),
+            pltpu.VMEM((hb * group * bq, dh), jnp.float32),
         ],
     )
     kernel = functools.partial(
@@ -418,6 +449,7 @@ def _dq_kernel(
     s = pl.program_id(2)
     count = counts_ref[i]
     typ = types_ref[i, s]
+    hb = q_ref.shape[0]
 
     @pl.when(s == 0)
     def _init():
@@ -426,8 +458,6 @@ def _dq_kernel(
     @pl.when(typ > 0)
     def _compute():
         kv_id = ids_ref[i, s]
-        k = k_ref[0]
-        v = v_ref[0]
         # k-major orientation: rows = kv positions, lanes = q positions.
         k_pos = offs_ref[1] + kv_id * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, (block_kv, block_q), 0
@@ -440,39 +470,46 @@ def _dq_kernel(
         mask = mask | (typ == 2)
         bias = jnp.where(mask, 0.0, MASK_VALUE)
 
-        for gi in range(group):
-            sl = slice(gi * block_q, (gi + 1) * block_q)
-            q = q_ref[0, gi]  # [bq, dh]
-            do = do_ref[0, gi]
-            lse_row = lse_ref[0, gi : gi + 1, :]  # [1, bq]
-            di_row = di_ref[0, gi : gi + 1, :]
-            st = (
-                jax.lax.dot_general(
-                    k,
-                    q,
-                    (((1,), (1,)), ((), ())),
+        for hi in range(hb):
+            k = k_ref[hi]
+            v = v_ref[hi]
+            for gi in range(group):
+                t = hi * group + gi
+                sl = slice(t * block_q, (t + 1) * block_q)
+                q = q_ref[hi, gi]  # [bq, dh]
+                do = do_ref[hi, gi]
+                lse_row = lse_ref[hi, gi : gi + 1, :]  # [1, bq]
+                di_row = di_ref[hi, gi : gi + 1, :]
+                st = (
+                    jax.lax.dot_general(
+                        k,
+                        q,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                    + bias
+                )  # [bkv, bq]
+                p = jnp.exp(st - lse_row)
+                dp = jax.lax.dot_general(
+                    v, do, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
-                )
-                * scale
-                + bias
-            )  # [bkv, bq]
-            p = jnp.exp(st - lse_row)
-            dp = jax.lax.dot_general(
-                v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )  # [bkv, bq]
-            ds = (dp - di_row) * p * scale
-            dq_scr[sl] += jax.lax.dot_general(
-                ds.astype(k.dtype),
-                k,
-                (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [bq, dh]
+                )  # [bkv, bq]
+                ds = (dp - di_row) * p * scale
+                dq_scr[sl] += jax.lax.dot_general(
+                    ds.astype(k.dtype),
+                    k,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [bq, dh]
 
     @pl.when(s == count - 1)
     def _emit():
-        for gi in range(group):
-            sl = slice(gi * block_q, (gi + 1) * block_q)
-            dq_ref[0, gi] = dq_scr[sl].astype(dq_ref.dtype)
+        for hi in range(hb):
+            for gi in range(group):
+                t = hi * group + gi
+                sl = slice(t * block_q, (t + 1) * block_q)
+                dq_ref[hi, gi] = dq_scr[sl].astype(dq_ref.dtype)
 
 
 def _bwd_dq(q4, k, v, ld2, kv_ids, kv_counts, kv_types, do, lse, di, scale, bs,
@@ -481,28 +518,29 @@ def _bwd_dq(q4, k, v, ld2, kv_ids, kv_counts, kv_types, do, lse, di, scale, bs,
     bq, bkv = bs.block_q, bs.block_kv
     nq = n // bq
     slots = kv_ids.shape[1]
+    hb = _eff_head_block(hkv, bs.head_block, max(1, 4096 // (group * bq)))
     if offs is None:
         offs = jnp.zeros((2,), jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(hkv, nq, slots),
+        grid=(hkv // hb, nq, slots),
         in_specs=[
-            pl.BlockSpec((1, group, bq, dh), lambda h, i, s, *_: (h, 0, i, 0)),
-            pl.BlockSpec((1, bkv, dh), lambda h, i, s, off, ids, *_: (h, ids[i, s], 0)),
-            pl.BlockSpec((1, bkv, dh), lambda h, i, s, off, ids, *_: (h, ids[i, s], 0)),
+            pl.BlockSpec((hb, group, bq, dh), lambda h, i, s, *_: (h, 0, i, 0)),
+            pl.BlockSpec((hb, bkv, dh), lambda h, i, s, off, ids, *_: (h, ids[i, s], 0)),
+            pl.BlockSpec((hb, bkv, dh), lambda h, i, s, off, ids, *_: (h, ids[i, s], 0)),
             pl.BlockSpec(
                 (1, bkv),
                 lambda h, i, s, off, ids, *_: (0, off[1] // bkv + ids[i, s]),
             ),
-            pl.BlockSpec((1, group, bq, dh), lambda h, i, s, *_: (h, 0, i, 0)),
-            pl.BlockSpec((1, group, bq), lambda h, i, s, *_: (h, 0, i)),
-            pl.BlockSpec((1, group, bq), lambda h, i, s, *_: (h, 0, i)),
+            pl.BlockSpec((hb, group, bq, dh), lambda h, i, s, *_: (h, 0, i, 0)),
+            pl.BlockSpec((hb, group, bq), lambda h, i, s, *_: (h, 0, i)),
+            pl.BlockSpec((hb, group, bq), lambda h, i, s, *_: (h, 0, i)),
         ],
         out_specs=[
-            pl.BlockSpec((1, group, bq, dh), lambda h, i, s, *_: (h, 0, i, 0)),
+            pl.BlockSpec((hb, group, bq, dh), lambda h, i, s, *_: (h, 0, i, 0)),
         ],
-        scratch_shapes=[pltpu.VMEM((group * bq, dh), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((hb * group * bq, dh), jnp.float32)],
     )
     kernel = functools.partial(
         _dq_kernel, scale=scale, block_q=bq, block_kv=bkv, group=group
@@ -549,6 +587,7 @@ def _dkv_kernel(
     s = pl.program_id(2)
     count = counts_ref[j]
     typ = types_ref[j, s]
+    hb = k_ref.shape[0]
 
     @pl.when(s == 0)
     def _init():
@@ -558,8 +597,6 @@ def _dkv_kernel(
     @pl.when(typ > 0)
     def _compute():
         q_id = ids_ref[j, s]
-        k = k_ref[0]
-        v = v_ref[0]
         k_pos = offs_ref[1] + j * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, (block_kv, block_q), 0
         )
@@ -571,43 +608,47 @@ def _dkv_kernel(
         mask = mask | (typ == 2)
         bias = jnp.where(mask, 0.0, MASK_VALUE)
 
-        for gi in range(group):
-            q = q_ref[0, gi]
-            do = do_ref[0, gi]
-            lse_row = lse_ref[0, gi : gi + 1, :]  # [1, bq]
-            di_row = di_ref[0, gi : gi + 1, :]
-            st = (
-                jax.lax.dot_general(
-                    k,
-                    q,
-                    (((1,), (1,)), ((), ())),
+        for hi in range(hb):
+            k = k_ref[hi]
+            v = v_ref[hi]
+            for gi in range(group):
+                q = q_ref[hi, gi]
+                do = do_ref[hi, gi]
+                lse_row = lse_ref[hi, gi : gi + 1, :]  # [1, bq]
+                di_row = di_ref[hi, gi : gi + 1, :]
+                st = (
+                    jax.lax.dot_general(
+                        k,
+                        q,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                    + bias
+                )  # [bkv, bq]
+                p = jnp.exp(st - lse_row)
+                dv_scr[hi] += jax.lax.dot_general(
+                    p.astype(do.dtype),
+                    do,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [bkv, dh]
+                dp = jax.lax.dot_general(
+                    v, do, (((1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                * scale
-                + bias
-            )  # [bkv, bq]
-            p = jnp.exp(st - lse_row)
-            dv_scr[...] += jax.lax.dot_general(
-                p.astype(do.dtype),
-                do,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [bkv, dh]
-            dp = jax.lax.dot_general(
-                v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            )
-            ds = (dp - di_row) * p * scale
-            dk_scr[...] += jax.lax.dot_general(
-                ds.astype(q.dtype),
-                q,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # [bkv, dh]
+                ds = (dp - di_row) * p * scale
+                dk_scr[hi] += jax.lax.dot_general(
+                    ds.astype(q.dtype),
+                    q,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [bkv, dh]
 
     @pl.when(s == count - 1)
     def _emit():
-        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
-        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+        dk_ref[...] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[...] = dv_scr[...].astype(dv_ref.dtype)
 
 
 def _bwd_dkv(q4, k, v, ld2, q_ids, q_counts, q_types, do, lse, di, scale, bs,
@@ -617,30 +658,31 @@ def _bwd_dkv(q4, k, v, ld2, q_ids, q_counts, q_types, do, lse, di, scale, bs,
     bq, bkv = bs.block_q, bs.block_kv
     nk = nkv // bkv
     slots = q_ids.shape[1]
+    hb = _eff_head_block(hkv, bs.head_block, max(1, 4096 // (group * bq)))
     if offs is None:
         offs = jnp.zeros((2,), jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
-        grid=(hkv, nk, slots),
+        grid=(hkv // hb, nk, slots),
         in_specs=[
-            pl.BlockSpec((1, group, bq, dh), lambda h, j, s, off, ids, *_: (h, 0, ids[j, s], 0)),
-            pl.BlockSpec((1, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
-            pl.BlockSpec((1, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
+            pl.BlockSpec((hb, group, bq, dh), lambda h, j, s, off, ids, *_: (h, 0, ids[j, s], 0)),
+            pl.BlockSpec((hb, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
+            pl.BlockSpec((hb, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
             pl.BlockSpec(
                 (1, bkv), lambda h, j, s, off, *_: (0, off[1] // bkv + j)
             ),
-            pl.BlockSpec((1, group, bq, dh), lambda h, j, s, off, ids, *_: (h, 0, ids[j, s], 0)),
-            pl.BlockSpec((1, group, bq), lambda h, j, s, off, ids, *_: (h, 0, ids[j, s])),
-            pl.BlockSpec((1, group, bq), lambda h, j, s, off, ids, *_: (h, 0, ids[j, s])),
+            pl.BlockSpec((hb, group, bq, dh), lambda h, j, s, off, ids, *_: (h, 0, ids[j, s], 0)),
+            pl.BlockSpec((hb, group, bq), lambda h, j, s, off, ids, *_: (h, 0, ids[j, s])),
+            pl.BlockSpec((hb, group, bq), lambda h, j, s, off, ids, *_: (h, 0, ids[j, s])),
         ],
         out_specs=[
-            pl.BlockSpec((1, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
-            pl.BlockSpec((1, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
+            pl.BlockSpec((hb, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
+            pl.BlockSpec((hb, bkv, dh), lambda h, j, s, *_: (h, j, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((bkv, dh), jnp.float32),
-            pltpu.VMEM((bkv, dh), jnp.float32),
+            pltpu.VMEM((hb, bkv, dh), jnp.float32),
+            pltpu.VMEM((hb, bkv, dh), jnp.float32),
         ],
     )
     kernel = functools.partial(
@@ -729,6 +771,9 @@ def _dqdkv_kernel(
     s = pl.program_id(2)
     count = counts_ref[i]
     typ = types_ref[i, s]
+    # this kernel runs one kv head per grid step (hb forced to 1 in
+    # _bwd_fused): an [hb, bkv, dh] RMW unit with a leading pl.ds head slice
+    # measured ~20% slower than the plain 2-D [bkv, dh] descriptors below
 
     @pl.when((i == 0) & (s == 0))
     def _init_pending():
@@ -771,8 +816,6 @@ def _dqdkv_kernel(
             rd_k.start()
             rd_v.start()
 
-        k = k_ref[0]
-        v = v_ref[0]
         # k-major orientation: rows = kv positions, lanes = q positions.
         k_pos = offs_ref[1] + kv_id * block_kv + jax.lax.broadcasted_iota(
             jnp.int32, (block_kv, block_q), 0
@@ -785,6 +828,8 @@ def _dqdkv_kernel(
         mask = mask | (typ == 2)
         bias = jnp.where(mask, 0.0, MASK_VALUE)
 
+        k = k_ref[0]
+        v = v_ref[0]
         for gi in range(group):
             sl = slice(gi * block_q, (gi + 1) * block_q)
             q = q_ref[0, gi]  # [bq, dh]
@@ -809,7 +854,8 @@ def _dqdkv_kernel(
                 preferred_element_type=jnp.float32,
             )  # [bkv, dh]
             dp = jax.lax.dot_general(
-                v, do, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                v, do, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
             ds = (dp - di_row) * p * scale
             dk_p = jax.lax.dot_general(
@@ -915,6 +961,11 @@ def _bwd_fused(q4, k, v, ld2, kv_ids, kv_counts, kv_types, do, lse, di, scale,
     bq, bkv = bs.block_q, bs.block_kv
     nq = n // bq
     slots = kv_ids.shape[1]
+    # NOTE head-blocking measured SLOWER here (7.3 vs 6.0 ms/call at the
+    # bench shape): the per-visit RMW unit would grow to [hb, bkv, dh] and
+    # the extra in-flight DMA bytes + VMEM pressure outweigh the shared
+    # mask build. The split dq/dkv kernels take head_block; fused stays
+    # per-head (grid h axis = hkv).
     if offs is None:
         offs = jnp.zeros((2,), jnp.int32)
     aux = _rmw_visit_marks(kv_ids, kv_types, nkv // bkv)

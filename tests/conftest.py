@@ -30,3 +30,57 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # The axon sitecustomize force-registers the tunneled TPU regardless of
 # JAX_PLATFORMS; the config knob wins. Tests must run on local CPU.
 jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+# ---------------------------------------------------------------- slow lane
+# The exhaustive parallelism / HF-parity / CLI matrix takes ~14 min of
+# fake-mesh shard_map compiles; the default run deselects it (pytest.ini
+# addopts) to keep the pre-commit gate under 5 min. Centralized here instead
+# of per-test decorators so the fast/slow split is one reviewable list.
+# Matching is substring-on-nodeid. The fast lane intentionally keeps one
+# representative per subsystem (e.g. sharded_step[2-1], ring [2-...],
+# moe_expert_parallel[2-1]).
+_SLOW_NODEIDS = (
+    "test_multihost.py",                      # real 2-process bring-up
+    "test_greedy_generate_matches_hf",        # HF sampling parity, ~40s each
+    "test_train_cli_with_resume",
+    "test_run_all_and_dp_pipeline",
+    "test_warmup_cli",
+    "test_run_grad_parity_via_cli",
+    "test_ring_reference_matches_full[4",     # sp=4 ring cases (keep sp=2)
+    "test_pipeline_step_matches_single_device[2-2-2-2]",
+    "test_pipeline_step_matches_single_device[1-2-2-2]",
+    "test_pipeline_step_matches_single_device[1-2-1-3]",
+    "test_sharded_step_matches_single_device[2-2]",
+    "test_sharded_step_matches_single_device[4-2]",
+    "test_ring_seq_parallel_step_matches_single_device",
+    "test_seq_parallel_step_matches_single_device",
+    "test_seq_parallel_with_fsdp",
+    "test_sharded_custom_loss_matches_engine",
+    "test_fsdp_optimizer_state_is_sharded",
+    "test_pipeline_optimizer_descends",
+    "test_moe_pipeline_matches_single_device",
+    "test_moe_ep_a2a_matches_single_device[4-2]",
+    "test_moe_ep_a2a_matches_single_device[2-2]",
+    "test_moe_expert_parallel_matches_single_device[2-2]",
+    "test_moe_expert_parallel_matches_single_device[1-2]",
+    "test_moe_ulysses_sp_matches_single_device",
+    "test_checkpoint_save_restore_roundtrip",
+    "test_trainer_custom_grpo_loss_at_scale",
+    "test_trainer_pipeline_descends",
+    "test_trainer_fsdp_descends",
+    "test_grad_accum_and_warmup",
+    "test_vp_loss_and_grads_match_local",
+    "test_remat_matches_no_remat",
+    "test_sim_backward_matches_reference",
+)
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RUN_SLOW"):
+        config.option.markexpr = ""
+        return
+    for item in items:
+        if any(key in item.nodeid for key in _SLOW_NODEIDS):
+            item.add_marker(pytest.mark.slow)
