@@ -53,7 +53,10 @@ class EngineConfig:
     remat_policy: str | None = None  # None (full recompute) | "dots"
     remat_segments: int = 0  # >0: nested √L checkpointing with this many segments
     temperature: float = 1.0
-    loss_chunk: int = 1024
+    loss_chunk: int = 1024  # row-chunk size (loss_mode="rows" only)
+    # "vocab": vocab-chunked custom_vjp loss (per-column-block dW writes, no
+    # [d, V] backward carry — ops/losses.py); "rows": legacy row-chunked path
+    loss_mode: str = "vocab"
     attn_backend: str = "pallas"  # "pallas" | "reference"
     interpret: bool = False  # pallas interpret mode (CPU debugging)
     # fwd kernel softmax shift: "auto" = "bound" (Cauchy-Schwarz row bound,
@@ -223,7 +226,7 @@ class TreeEngine:
         w_lm = lm_head_weight(params, self.mc)
         return logprob_entropy_from_hidden(
             hidden, w_lm, tokens, parent,
-            self.cfg.temperature, self.cfg.loss_chunk,
+            self.cfg.temperature, self.cfg.loss_chunk, self.cfg.loss_mode,
         )
 
     def _loss(self, params, tokens, depth, parent, last_desc, w_lp, w_ent,
@@ -238,7 +241,7 @@ class TreeEngine:
         )
         lp_edge, entropy = logprob_entropy_from_hidden(
             hidden, lm_head_weight(params, self.mc), tokens, parent,
-            self.cfg.temperature, self.cfg.loss_chunk,
+            self.cfg.temperature, self.cfg.loss_chunk, self.cfg.loss_mode,
         )
         sum_lp = jnp.sum(w_lp * lp_edge)
         sum_ent = jnp.sum(w_ent * entropy)

@@ -55,16 +55,21 @@ def _chunk_stats(h_chunk: jnp.ndarray, w_lm: jnp.ndarray, inv_temp: float):
     return lse, entropy
 
 
-def position_stats_from_hidden(
+def position_stats_rowchunked(
     hidden: jnp.ndarray,  # [n, d]
     w_lm: jnp.ndarray,  # [d, V]
     temperature: float = 1.0,
     chunk_size: int = 1024,
 ):
-    """Per-position (logsumexp, entropy) with logits recomputed chunkwise.
+    """Row-chunked (lse, entropy): logits formed chunk-by-chunk under
+    `jax.checkpoint` so the [n, V] matrix never materializes.
 
-    `jax.checkpoint` makes the backward re-form each chunk's logits instead of
-    saving them — peak memory O(chunk·V) not O(n·V)."""
+    Kept as the reference implementation (it is the direct analogue of the
+    reference's ``_chunked_apply``, reference: vocab_parallel.py:39-79).
+    Its autodiff backward carries a fp32 [d, V] dW accumulator across the
+    `lax.map` steps — ~1.2 GB of HBM read+write per chunk step at 0.6B,
+    the measured ~6%-of-step "dW carry" bucket (docs/PERF.md) that
+    `position_stats_from_hidden`'s vocab-chunked custom_vjp eliminates."""
     n, d = hidden.shape
     inv_temp = 1.0 / temperature
     if n % chunk_size:
@@ -84,6 +89,148 @@ def _best_chunk(n: int, preferred: int) -> int:
     return n
 
 
+# ------------------------------------------------- vocab-chunked custom path
+
+
+def _vocab_chunk_width(V: int, n_rows: int) -> int:
+    """Chunk width Vc: [n_rows, Vc] fp32 logits transient stays under
+    ~512 MB, lane-multiple, in [512, 16384]. Exact divisors of V are
+    preferred (published vocabs are 2^7·odd, so one almost always fits);
+    otherwise the last chunk runs flush-to-edge with overlap masking."""
+    budget = 512 * 1024 * 1024
+    w = budget // max(n_rows * 4, 1)
+    w = max(512, min(16384, (w // 128) * 128))
+    if V <= w:
+        return V  # single exact chunk (small vocab)
+    for c in range(1, V // 512 + 1):
+        if V % c == 0 and V // c <= w:
+            return V // c  # largest fitting divisor: no ragged tail
+    return w  # ragged tail (V > w guaranteed here)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _position_stats_vc(hidden, w_lm, inv_temp: float, vc: int):
+    lse, entropy, _ = _vc_forward(hidden, w_lm, inv_temp, vc)
+    return lse, entropy
+
+
+def _vc_slice(w_lm, c, vc):
+    """(wc [d, vc], col_valid [vc] | None) — the c-th column block, zero-
+    padded past V on the ragged last chunk (dynamic_slice clamps the start,
+    so the tail block is instead taken flush to the edge and re-masked)."""
+    d, V = w_lm.shape
+    if V % vc == 0:
+        return jax.lax.dynamic_slice(w_lm, (0, c * vc), (d, vc)), None
+    start = jnp.minimum(c * vc, V - vc)  # flush-to-edge for the tail block
+    wc = jax.lax.dynamic_slice(w_lm, (0, start), (d, vc))
+    col = start + jnp.arange(vc)
+    return wc, col >= c * vc  # columns already seen in earlier chunks drop
+
+
+def _vc_forward(hidden, w_lm, inv_temp: float, vc: int):
+    n, d = hidden.shape
+    V = w_lm.shape[1]
+    n_chunks = -(-V // vc)
+
+    def body(c, carry):
+        m, se, sx = carry
+        wc, valid = _vc_slice(w_lm, c, vc)
+        x = jnp.dot(hidden, wc, preferred_element_type=jnp.float32) * inv_temp
+        if valid is not None:
+            x = jnp.where(valid[None, :], x, -jnp.inf)
+        mc = jnp.max(x, axis=-1)
+        new_m = jnp.maximum(m, mc)
+        r = jnp.exp(m - new_m)  # 0 on the first chunk (m = -inf)
+        ex = jnp.exp(x - new_m[:, None])  # masked columns -> exp(-inf) = 0
+        se = se * r + jnp.sum(ex, axis=-1)
+        xs = jnp.where(valid[None, :], x, 0.0) if valid is not None else x
+        sx = sx * r + jnp.sum(ex * xs, axis=-1)
+        return new_m, se, sx
+
+    m0 = jnp.full((n,), -jnp.inf, jnp.float32)
+    z = jnp.zeros((n,), jnp.float32)
+    m, se, sx = jax.lax.fori_loop(0, n_chunks, body, (m0, z, z))
+    lse = m + jnp.log(se)
+    mean_x = sx / se
+    return lse, lse - mean_x, mean_x
+
+
+def _vc_fwd_rule(hidden, w_lm, inv_temp: float, vc: int):
+    lse, entropy, mean_x = _vc_forward(hidden, w_lm, inv_temp, vc)
+    return (lse, entropy), (hidden, w_lm, lse, mean_x)
+
+
+def _vc_bwd_rule(inv_temp: float, vc: int, res, cts):
+    """Analytic backward, vocab-chunk-parallel.
+
+    dlogits_ij = p_ij·[g_lse_i − g_ent_i·(x_ij − mean_x_i)] with
+    p = exp(x − lse) from the SAVED lse (no second online pass). Each dW
+    column block is produced by one matmul and written once
+    (dynamic_update_slice on the loop carry → in-place), so the only
+    cross-chunk carry is dhidden [n, d] — unlike autodiff of the row-chunked
+    path, which drags the full fp32 [d, V] dW through every chunk step."""
+    hidden, w_lm, lse, mean_x = res
+    g_lse, g_ent = cts
+    n, d = hidden.shape
+    V = w_lm.shape[1]
+    n_chunks = -(-V // vc)
+    V_pad = n_chunks * vc
+    # dW chunks come out as stacked scan OUTPUTS (append-only — no in-place
+    # carry for XLA's while-loop aliasing to get wrong), then one cheap
+    # [C, d, vc] -> [d, V] transpose. Ragged vocabs pad W with zero columns
+    # and mask their softmax term.
+    w_use = (
+        jnp.pad(w_lm, ((0, 0), (0, V_pad - V))) if V_pad != V else w_lm
+    )
+    a = (g_lse + g_ent * mean_x)[:, None]  # [n, 1] fp32
+    b = g_ent[:, None]
+
+    def body(dh, c):
+        wc = jax.lax.dynamic_slice(w_use, (0, c * vc), (d, vc))
+        x = jnp.dot(hidden, wc, preferred_element_type=jnp.float32) * inv_temp
+        p = jnp.exp(x - lse[:, None])
+        if V_pad != V:  # zero-padded columns have x=0, not -inf: mask them
+            p = jnp.where((c * vc + jnp.arange(vc))[None, :] < V, p, 0.0)
+        dl = (p * (a - b * x) * inv_temp).astype(hidden.dtype)  # [n, vc]
+        dwc = jax.lax.dot_general(
+            hidden, dl, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [d, vc]
+        dh = dh + jnp.dot(dl, wc.T, preferred_element_type=jnp.float32)
+        return dh, dwc.astype(w_lm.dtype)
+
+    dh0 = jnp.zeros((n, d), jnp.float32)
+    dh, dws = jax.lax.scan(body, dh0, jnp.arange(n_chunks))
+    dW = dws.transpose(1, 0, 2).reshape(d, V_pad)
+    if V_pad != V:
+        dW = dW[:, :V]
+    return dh.astype(hidden.dtype), dW
+
+
+_position_stats_vc.defvjp(_vc_fwd_rule, _vc_bwd_rule)
+
+
+def position_stats_from_hidden(
+    hidden: jnp.ndarray,  # [n, d]
+    w_lm: jnp.ndarray,  # [d, V]
+    temperature: float = 1.0,
+    chunk_size: int = 1024,  # row-chunk size, "rows" mode only
+    mode: str = "vocab",
+    vocab_chunk_width: int | None = None,  # override the auto chunk width
+):
+    """Per-position (logsumexp, entropy) without materializing [n, V] logits.
+
+    mode="vocab" (default): custom_vjp looping over VOCAB chunks — online
+    (m, Σe^x, Σe^x·x) merge forward; analytic backward writes each dW column
+    block exactly once (see _vc_bwd_rule). mode="rows": the legacy
+    row-chunked `jax.checkpoint` + `lax.map` formulation."""
+    if mode == "rows":
+        return position_stats_rowchunked(hidden, w_lm, temperature, chunk_size)
+    V = w_lm.shape[1]
+    vc = min(vocab_chunk_width or _vocab_chunk_width(V, hidden.shape[0]), V)
+    return _position_stats_vc(hidden, w_lm, 1.0 / temperature, vc)
+
+
 def logprob_entropy_from_hidden(
     hidden: jnp.ndarray,  # [n, d] — model output after final norm
     w_lm: jnp.ndarray,  # [d, V] — LM head (transposed embedding if tied)
@@ -91,6 +238,7 @@ def logprob_entropy_from_hidden(
     parent: jnp.ndarray,  # [n] int32, -1 for roots
     temperature: float = 1.0,
     chunk_size: int = 1024,
+    mode: str = "vocab",
 ):
     """Per-edge log-probs and per-position entropies over the packed trie.
 
@@ -99,7 +247,9 @@ def logprob_entropy_from_hidden(
     ``logprobs[t] = logprob of token t+1`` (reference:
     tree_training_engine.py:192,258,363). Roots get lp_edge = 0 (no incoming
     edge; their weight is 0 by construction)."""
-    lse, entropy = position_stats_from_hidden(hidden, w_lm, temperature, chunk_size)
+    lse, entropy = position_stats_from_hidden(
+        hidden, w_lm, temperature, chunk_size, mode=mode
+    )
 
     par = jnp.maximum(parent, 0)
     h_par = jnp.take(hidden, par, axis=0)  # [n, d]
@@ -122,10 +272,11 @@ def tree_loss_from_hidden(
     w_entropy,  # [n] f32 per-position weights
     temperature: float = 1.0,
     chunk_size: int = 1024,
+    mode: str = "vocab",
 ):
     """Scalar trie loss + aux stats. Gradients flow into hidden and w_lm."""
     lp_edge, entropy = logprob_entropy_from_hidden(
-        hidden, w_lm, tokens, parent, temperature, chunk_size
+        hidden, w_lm, tokens, parent, temperature, chunk_size, mode=mode
     )
     loss = jnp.sum(w_logprob * lp_edge) + jnp.sum(w_entropy * entropy)
     aux = {

@@ -266,6 +266,51 @@ def test_rmw_visit_marks_oracle(seed):
     assert len(seen) == nk
 
 
+@pytest.mark.parametrize("mode", ["online", "bound"])
+def test_pallas_interpret_head_blocked(mode):
+    """hkv=4 with BlockSizes(head_block=2): the grid head axis has size 2,
+    so the h>0 block-indexing path of the (hb, ...) BlockSpecs is exercised
+    (regression cover for the head-blocked kernel rewrite — no other CI test
+    reaches it). Forward in both softmax modes + the split backward vs the
+    dense-mask reference, in the TPU-semantics interpreter. Slow lane."""
+    rng = np.random.default_rng(0)
+    block, n, dh = 32, 128, 32
+    hq = hkv = 4  # group=1 keeps interpret compile tolerable; head grid = 2
+    _, _, packed, meta = random_packed(rng, n, block, n_seqs=8, max_len=30)
+    q = jax.random.normal(jax.random.key(0), (hq, n, dh), dtype=jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (hkv, n, dh), dtype=jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (hkv, n, dh), dtype=jnp.float32)
+    w = jax.random.normal(jax.random.key(3), (hq, n, dh), dtype=jnp.float32)
+    ld = jnp.asarray(packed.last_desc)
+    bs = BlockSizes(block, block, head_block=2)
+
+    def loss(q, k, v):
+        o = tree_attention(
+            q, k, v, ld, *_meta_args(meta), block_sizes=bs,
+            interpret=True, softmax_mode=mode, bwd_mode="split",
+        )
+        return jnp.sum(o * w)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(tree_attention_reference(q, k, v, ld) * w)
+
+    with jax.default_matmul_precision("highest"):
+        out = tree_attention(
+            q, k, v, ld, *_meta_args(meta), block_sizes=bs,
+            interpret=True, softmax_mode=mode,
+        )
+        ref = tree_attention_reference(q, k, v, ld)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+        gk = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(gk, gr, ["dq", "dk", "dv"]):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-5, err_msg=name
+        )
+
+
 @pytest.mark.skipif(
     not os.environ.get("RUN_INTERPRET"),
     reason="Pallas interpret-mode compile is minutes-slow; opt in with RUN_INTERPRET=1. "

@@ -96,3 +96,59 @@ def test_vp_loss_and_grads_match_local():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gw_sh), np.asarray(gw_loc),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("temperature", [1.0, 0.7])
+@pytest.mark.parametrize("n,v,vc", [(64, 128, 32), (48, 100, 32), (40, 90, 64)])
+def test_vocab_chunked_stats_match_rowchunked(n, v, vc, temperature):
+    """position_stats_from_hidden mode="vocab" (custom_vjp, per-column-block
+    dW writes) == mode="rows" (autodiff through the checkpointed lax.map) ==
+    dense one-shot — values AND grads through both operands. Covers the
+    exact-divisor chunking (128/32), a ragged tail (100/32), and a
+    wider-than-half tail overlap (90/64)."""
+    hidden, w, _, _ = _setup(seed=7, n=n, d=32, v=v)
+
+    def stats(mode):
+        # force a small chunk width so the online merge + per-block dW
+        # writes run (the auto heuristic picks one chunk at toy vocabs)
+        kw = {"vocab_chunk_width": vc} if mode == "vocab" else {}
+        return position_stats_from_hidden(hidden, w, temperature, 16,
+                                          mode=mode, **kw)
+
+    for a, b in zip(stats("vocab"), stats("rows")):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+    cl = jax.random.normal(jax.random.key(1), (n,), jnp.float32)
+    ce = jax.random.normal(jax.random.key(2), (n,), jnp.float32)
+
+    def scalar(mode):
+        kw = {"vocab_chunk_width": vc} if mode == "vocab" else {}
+
+        def f(hidden, w):
+            lse, ent = position_stats_from_hidden(
+                hidden, w, temperature, 16, mode=mode, **kw
+            )
+            return jnp.sum(cl * lse) + jnp.sum(ce * ent)
+        return f
+
+    gv = jax.grad(scalar("vocab"), argnums=(0, 1))(hidden, w)
+    gr = jax.grad(scalar("rows"), argnums=(0, 1))(hidden, w)
+    for a, b, name in zip(gv, gr, ["dhidden", "dW"]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=3e-5, atol=3e-5, err_msg=name)
+
+
+def test_vocab_chunked_indivisible_vocab_single_chunk():
+    """A vocab with no usable divisor (prime) falls back to one chunk and
+    still matches the dense math."""
+    n, d, v = 32, 16, 97  # prime vocab
+    hidden, w, _, _ = _setup(seed=9, n=n, d=d, v=v)
+    lse_v, ent_v = position_stats_from_hidden(hidden, w, 1.0, 16, mode="vocab")
+    logits = (hidden @ w).astype(jnp.float32)
+    lse_d = jax.scipy.special.logsumexp(logits, axis=-1)
+    p = jax.nn.softmax(logits, axis=-1)
+    ent_d = lse_d - jnp.sum(p * logits, axis=-1)
+    np.testing.assert_allclose(np.asarray(lse_v), np.asarray(lse_d), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(ent_v), np.asarray(ent_d),
+                               rtol=2e-4, atol=2e-5)
