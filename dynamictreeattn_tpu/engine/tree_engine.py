@@ -68,6 +68,11 @@ class EngineConfig:
     # VMEM scratch, dk/dv via explicit HBM read-modify-write DMAs —
     # ops/tree_attention.py); "split" = separate dq/dkv kernels
     bwd_mode: str = "auto"
+    # fuse per-head qk-norm + rope + head-major transpose into Pallas
+    # kernels with analytic backward (ops/qk_prep.py): "auto" = on whenever
+    # the Pallas attention backend runs (same hardware requirement);
+    # "on"/"off" force it
+    fused_qk: str = "auto"
     # "ladder": geometric (≤25% waste) length buckets so jit shapes repeat
     # across workloads (SURVEY.md §7.3 hard part 3); "exact": minimal padding
     # (one compile per distinct length — benchmarking single fixed workloads)
@@ -207,6 +212,12 @@ class TreeEngine:
     def _bwd_mode(self) -> str:
         return resolve_kernel_modes(self.mc, self.cfg)[1]
 
+    def _fused_qk(self) -> bool:
+        cfg = self.cfg
+        if cfg.fused_qk == "auto":
+            return cfg.attn_backend == "pallas" and not cfg.interpret
+        return cfg.fused_qk == "on"
+
     def _hidden(self, params, tokens, depth, last_desc, meta, valid=None):
         return forward_hidden(
             params,
@@ -218,6 +229,7 @@ class TreeEngine:
             remat_policy=self.cfg.remat_policy,
             remat_segments=self.cfg.remat_segments,
             valid=valid,
+            fused_qk=self._fused_qk(),
         )
 
     def _logprobs(self, params, tokens, depth, parent, last_desc, meta,
@@ -237,7 +249,7 @@ class TreeEngine:
             params, self.mc, tokens, depth, self._attn_fn(last_desc, meta),
             remat=self.cfg.remat, remat_policy=self.cfg.remat_policy,
             remat_segments=self.cfg.remat_segments,
-            valid=valid,
+            valid=valid, fused_qk=self._fused_qk(),
         )
         lp_edge, entropy = logprob_entropy_from_hidden(
             hidden, lm_head_weight(params, self.mc), tokens, parent,

@@ -489,7 +489,8 @@ def _moe_block(h: jnp.ndarray, lp: dict, config: Qwen3Config, valid=None):
 AttnFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
-def _layer(x, lp, cos, sin, config: Qwen3Config, attn_fn: AttnFn, valid=None):
+def _layer(x, lp, cos, sin, config: Qwen3Config, attn_fn: AttnFn, valid=None,
+           fused_qk: bool = False):
     c = config
     n, d = x.shape
     dh = c.head_dim
@@ -505,17 +506,28 @@ def _layer(x, lp, cos, sin, config: Qwen3Config, attn_fn: AttnFn, valid=None):
         q = q + lp["bq"]
         k = k + lp["bk"]
         v = v + lp["bv"]
-    q = q.reshape(n, hq, dh)
-    k = k.reshape(n, hkv, dh)
-    v = v.reshape(n, hkv, dh)
-    if c.use_qk_norm:
-        q = rms_norm(q, lp["q_norm"], eps)  # per-head RMS over head_dim
-        k = rms_norm(k, lp["k_norm"], eps)
-    q = apply_rope(q, cos, sin)
-    k = apply_rope(k, cos, sin)
-    o = attn_fn(
-        q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2)
-    )  # [hq, n, dh]
+    if fused_qk:
+        # one Pallas pass for norm+rope+head-major transpose (+ analytic
+        # custom_vjp backward) instead of ~a dozen VPU-bound XLA fusions —
+        # ops/qk_prep.py
+        from dynamictreeattn_tpu.ops.qk_prep import qkv_prep
+
+        qw = lp["q_norm"] if c.use_qk_norm else jnp.ones((dh,), x.dtype)
+        kw = lp["k_norm"] if c.use_qk_norm else jnp.ones((dh,), x.dtype)
+        qt, kt, vt = qkv_prep(q, k, v, qw, kw, cos, sin, eps, c.use_qk_norm)
+        o = attn_fn(qt, kt, vt)  # [hq, n, dh]
+    else:
+        q = q.reshape(n, hq, dh)
+        k = k.reshape(n, hkv, dh)
+        v = v.reshape(n, hkv, dh)
+        if c.use_qk_norm:
+            q = rms_norm(q, lp["q_norm"], eps)  # per-head RMS over head_dim
+            k = rms_norm(k, lp["k_norm"], eps)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        o = attn_fn(
+            q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2)
+        )  # [hq, n, dh]
     o = o.transpose(1, 0, 2).reshape(n, hq * dh)
     x = x + o @ lp["wo"]
 
@@ -540,6 +552,7 @@ def forward_hidden_aux(
     remat_policy: str | None = None,
     remat_segments: int = 0,
     valid=None,
+    fused_qk: bool = False,
 ):
     """(hidden [n, d], aux) — aux["lb_loss"] is the summed router
     load-balance loss over layers (0 for dense models). `valid` ([n] 0/1
@@ -549,7 +562,8 @@ def forward_hidden_aux(
     cos, sin = rope_tables(positions, c.head_dim, c.rope_theta,
                            c.rope_scaling_tuple)
 
-    body = functools.partial(_layer, config=c, attn_fn=attn_fn, valid=valid)
+    body = functools.partial(_layer, config=c, attn_fn=attn_fn, valid=valid,
+                             fused_qk=fused_qk)
 
     def scan_fn(carry, lp):
         x, lb = carry
@@ -598,13 +612,14 @@ def forward_hidden(
     remat_policy: str | None = None,
     remat_segments: int = 0,
     valid=None,
+    fused_qk: bool = False,
 ) -> jnp.ndarray:
     """Returns final-norm'd hidden states [n, d] (LM head applied separately
     so losses can fuse it — ops/losses.py)."""
     hidden, _ = forward_hidden_aux(
         params, config, tokens, positions, attn_fn,
         remat=remat, remat_policy=remat_policy, remat_segments=remat_segments,
-        valid=valid,
+        valid=valid, fused_qk=fused_qk,
     )
     return hidden
 

@@ -192,19 +192,22 @@ def _vc_bwd_rule(inv_temp: float, vc: int, res, cts):
         if V_pad != V:  # zero-padded columns have x=0, not -inf: mask them
             p = jnp.where((c * vc + jnp.arange(vc))[None, :] < V, p, 0.0)
         dl = (p * (a - b * x) * inv_temp).astype(hidden.dtype)  # [n, vc]
-        dwc = jax.lax.dot_general(
-            hidden, dl, (((0,), (0,)), ((), ())),
+        dwcT = jax.lax.dot_general(
+            dl, hidden, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [d, vc]
+        )  # [vc, d] — stacked ys then reshape contiguously to [V, d]
         dh = dh + jnp.dot(dl, wc.T, preferred_element_type=jnp.float32)
-        return dh, dwc.astype(w_lm.dtype)
+        return dh, dwcT.astype(w_lm.dtype)
 
     dh0 = jnp.zeros((n, d), jnp.float32)
-    dh, dws = jax.lax.scan(body, dh0, jnp.arange(n_chunks))
-    dW = dws.transpose(1, 0, 2).reshape(d, V_pad)
+    dh, dwsT = jax.lax.scan(body, dh0, jnp.arange(n_chunks))
+    dWT = dwsT.reshape(V_pad, d)  # free reshape: scan axis is contiguous
     if V_pad != V:
-        dW = dW[:, :V]
-    return dh.astype(hidden.dtype), dW
+        dWT = dWT[:V]
+    # the custom_vjp contract wants [d, V]; for tied embeddings the engine
+    # immediately transposes it back to [V, d] (w_lm = embed.T), so the two
+    # transposes cancel in XLA and the grad lands contiguously
+    return dh.astype(hidden.dtype), dWT.T
 
 
 _position_stats_vc.defvjp(_vc_fwd_rule, _vc_bwd_rule)
