@@ -20,6 +20,11 @@ analytic custom_vjp backward (two more), one HBM round-trip each way:
             dx = r·(du − u·mean(du·u)) → emit [n, H·dh]; the norm-weight
             grads accumulate across the whole grid in a resident block.
 
+Grid layout: one step per row block with the head loop unrolled inside the
+kernel (lane slices at dh boundaries) — ~n/bn grid steps of ~MB-sized
+blocks rather than (n/bn)·H steps of 128 KB blocks, which measured ~40%
+faster on v5e.
+
 Numerics: fp32 throughout the kernel (the unfused path rounds the normed
 q/k to bf16 before rope; here u stays fp32 until the final emit — a ≤1-ulp
 difference covered by the parity tests)."""
@@ -40,9 +45,11 @@ def _interpret_mode(interpret: bool):
     return pltpu.InterpretParams() if interpret else False
 
 
-def _row_block(n: int) -> int:
+def _row_block(n: int, width_bytes: int) -> int:
+    """Largest row block dividing n with in+out blocks ≲ 4 MB total."""
+    cap = max(8, (4 * 1024 * 1024) // max(width_bytes, 1))
     for bn in (512, 256, 128, 64, 32, 16, 8):
-        if n % bn == 0:
+        if bn <= cap and n % bn == 0:
             return bn
     return n
 
@@ -53,80 +60,94 @@ def _rot(x):
     return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
 
 
-def _norm_rope_fwd(x, w_ref, cos, sin, eps, use_norm):
+def _norm_rope_fwd(x, w, cos, sin, eps, use_norm):
     if use_norm:
         r = jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
-        x = x * r * w_ref[0].astype(jnp.float32)
+        x = x * r * w
     return x * cos + _rot(x) * sin
 
 
-def _prep_fwd_kernel(x_ref, w_ref, cos_ref, sin_ref, o_ref, *, eps, use_norm):
-    x = x_ref[...].astype(jnp.float32)
+def _norm_rope_bwd(g, x, w, cos, sin, eps, use_norm):
+    """(dx, dw_partial | None): vjp of _norm_rope_fwd for one head block."""
+    gp = g * cos - _rot(g) * sin  # rope^T (rot is antisymmetric)
+    if not use_norm:
+        return gp, None
+    dh_ = x.shape[-1]
+    r = jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
+    u = x * r
+    dw = jnp.sum(gp * u, axis=0)
+    du = gp * w
+    dx = r * (du - u * (jnp.sum(du * u, axis=-1, keepdims=True) / dh_))
+    return dx, dw
+
+
+def _fwd_kernel(x_ref, w_ref, cos_ref, sin_ref, o_ref, *, dh, eps, use_norm):
+    H = o_ref.shape[0]
     cos = cos_ref[...].astype(jnp.float32)
     sin = sin_ref[...].astype(jnp.float32)
-    o_ref[0] = _norm_rope_fwd(x, w_ref, cos, sin, eps, use_norm).astype(
-        o_ref.dtype
-    )
+    w = w_ref[0].astype(jnp.float32) if use_norm else None
+    for h in range(H):
+        x = x_ref[:, h * dh:(h + 1) * dh].astype(jnp.float32)
+        o_ref[h] = _norm_rope_fwd(x, w, cos, sin, eps, use_norm).astype(
+            o_ref.dtype
+        )
 
 
 def _kv_fwd_kernel(k_ref, v_ref, w_ref, cos_ref, sin_ref, ko_ref, vo_ref, *,
-                   eps, use_norm):
-    _prep_fwd_kernel(k_ref, w_ref, cos_ref, sin_ref, ko_ref, eps=eps,
-                     use_norm=use_norm)
-    vo_ref[0] = v_ref[...]
+                   dh, eps, use_norm):
+    _fwd_kernel(k_ref, w_ref, cos_ref, sin_ref, ko_ref, dh=dh, eps=eps,
+                use_norm=use_norm)
+    H = vo_ref.shape[0]
+    for h in range(H):
+        vo_ref[h] = v_ref[:, h * dh:(h + 1) * dh]
 
 
-def _prep_bwd_kernel(g_ref, x_ref, w_ref, cos_ref, sin_ref, dx_ref, dw_ref, *,
-                     eps, use_norm):
-    i = pl.program_id(0)
-    h = pl.program_id(1)
-    g = g_ref[0].astype(jnp.float32)
+def _bwd_kernel(g_ref, x_ref, w_ref, cos_ref, sin_ref, dx_ref, dw_ref, *,
+                dh, eps, use_norm):
+    H = g_ref.shape[0]
     cos = cos_ref[...].astype(jnp.float32)
     sin = sin_ref[...].astype(jnp.float32)
-    # rope^T: rot is antisymmetric (rot^T = -rot)
-    gp = g * cos - _rot(g) * sin
-    if use_norm:
+    w = w_ref[0].astype(jnp.float32) if use_norm else None
+    if dw_ref is not None:
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            dw_ref[...] = jnp.zeros_like(dw_ref)
+    for h in range(H):
+        g = g_ref[h].astype(jnp.float32)
+        x = (
+            x_ref[:, h * dh:(h + 1) * dh].astype(jnp.float32)
+            if use_norm else None
+        )
+        dx, dw = _norm_rope_bwd(g, x, w, cos, sin, eps, use_norm)
+        dx_ref[:, h * dh:(h + 1) * dh] = dx.astype(dx_ref.dtype)
         if dw_ref is not None:
-            @pl.when((i == 0) & (h == 0))
-            def _init():
-                dw_ref[...] = jnp.zeros_like(dw_ref)
-
-        x = x_ref[...].astype(jnp.float32)
-        dh_ = x.shape[-1]
-        r = jax.lax.rsqrt(jnp.mean(x * x, axis=-1, keepdims=True) + eps)
-        u = x * r
-        if dw_ref is not None:
-            dw_ref[0] += jnp.sum(gp * u, axis=0)
-        du = gp * w_ref[0].astype(jnp.float32)
-        dx = r * (du - u * (jnp.sum(du * u, axis=-1, keepdims=True) / dh_))
-    else:
-        dx = gp
-    dx_ref[...] = dx.astype(dx_ref.dtype)
+            dw_ref[0] += dw
 
 
 def _kv_bwd_kernel(gk_ref, gv_ref, k_ref, w_ref, cos_ref, sin_ref,
-                   dk_ref, dv_ref, dw_ref, *, eps, use_norm):
-    _prep_bwd_kernel(gk_ref, k_ref, w_ref, cos_ref, sin_ref, dk_ref, dw_ref,
-                     eps=eps, use_norm=use_norm)
-    dv_ref[...] = gv_ref[0]
+                   dk_ref, dv_ref, dw_ref, *, dh, eps, use_norm):
+    _bwd_kernel(gk_ref, k_ref, w_ref, cos_ref, sin_ref, dk_ref, dw_ref,
+                dh=dh, eps=eps, use_norm=use_norm)
+    H = gv_ref.shape[0]
+    for h in range(H):
+        dv_ref[:, h * dh:(h + 1) * dh] = gv_ref[h]
 
 
 def _fwd_q(q, w, cos, sin, eps, use_norm, interpret):
     n, hdh = q.shape
     dh = cos.shape[-1]
     H = hdh // dh
-    bn = _row_block(n)
-    grid = (n // bn, H)
+    bn = _row_block(n, 2 * hdh * q.dtype.itemsize)
     out = pl.pallas_call(
-        functools.partial(_prep_fwd_kernel, eps=eps, use_norm=use_norm),
-        grid=grid,
+        functools.partial(_fwd_kernel, dh=dh, eps=eps, use_norm=use_norm),
+        grid=(n // bn,),
         in_specs=[
-            pl.BlockSpec((bn, dh), lambda i, h: (i, h)),
-            pl.BlockSpec((1, dh), lambda i, h: (0, 0)),
-            pl.BlockSpec((bn, dh), lambda i, h: (i, 0)),
-            pl.BlockSpec((bn, dh), lambda i, h: (i, 0)),
+            pl.BlockSpec((bn, hdh), lambda i: (i, 0)),
+            pl.BlockSpec((1, dh), lambda i: (0, 0)),
+            pl.BlockSpec((bn, dh), lambda i: (i, 0)),
+            pl.BlockSpec((bn, dh), lambda i: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((1, bn, dh), lambda i, h: (h, i, 0)),
+        out_specs=pl.BlockSpec((H, bn, dh), lambda i: (0, i, 0)),
         out_shape=jax.ShapeDtypeStruct((H, n, dh), q.dtype),
         interpret=_interpret_mode(interpret),
         name="qk_prep_fwd_q",
@@ -138,21 +159,20 @@ def _fwd_kv(k, v, w, cos, sin, eps, use_norm, interpret):
     n, hdh = k.shape
     dh = cos.shape[-1]
     H = hdh // dh
-    bn = _row_block(n)
-    grid = (n // bn, H)
+    bn = _row_block(n, 4 * hdh * k.dtype.itemsize)
     ko, vo = pl.pallas_call(
-        functools.partial(_kv_fwd_kernel, eps=eps, use_norm=use_norm),
-        grid=grid,
+        functools.partial(_kv_fwd_kernel, dh=dh, eps=eps, use_norm=use_norm),
+        grid=(n // bn,),
         in_specs=[
-            pl.BlockSpec((bn, dh), lambda i, h: (i, h)),
-            pl.BlockSpec((bn, dh), lambda i, h: (i, h)),
-            pl.BlockSpec((1, dh), lambda i, h: (0, 0)),
-            pl.BlockSpec((bn, dh), lambda i, h: (i, 0)),
-            pl.BlockSpec((bn, dh), lambda i, h: (i, 0)),
+            pl.BlockSpec((bn, hdh), lambda i: (i, 0)),
+            pl.BlockSpec((bn, hdh), lambda i: (i, 0)),
+            pl.BlockSpec((1, dh), lambda i: (0, 0)),
+            pl.BlockSpec((bn, dh), lambda i: (i, 0)),
+            pl.BlockSpec((bn, dh), lambda i: (i, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, bn, dh), lambda i, h: (h, i, 0)),
-            pl.BlockSpec((1, bn, dh), lambda i, h: (h, i, 0)),
+            pl.BlockSpec((H, bn, dh), lambda i: (0, i, 0)),
+            pl.BlockSpec((H, bn, dh), lambda i: (0, i, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((H, n, dh), k.dtype),
@@ -168,27 +188,26 @@ def _bwd_q(gq, q, w, cos, sin, eps, use_norm, interpret):
     n, hdh = q.shape
     dh = cos.shape[-1]
     H = hdh // dh
-    bn = _row_block(n)
-    grid = (n // bn, H)
-    out_specs = [pl.BlockSpec((bn, dh), lambda i, h: (i, h))]
+    bn = _row_block(n, 3 * hdh * q.dtype.itemsize)
+    out_specs = [pl.BlockSpec((bn, hdh), lambda i: (i, 0))]
     out_shape = [jax.ShapeDtypeStruct((n, hdh), q.dtype)]
     if use_norm:
-        out_specs.append(pl.BlockSpec((1, dh), lambda i, h: (0, 0)))
+        out_specs.append(pl.BlockSpec((1, dh), lambda i: (0, 0)))
         out_shape.append(jax.ShapeDtypeStruct((1, dh), jnp.float32))
 
     def kernel(g_ref, x_ref, w_ref, cos_ref, sin_ref, dx_ref, *dw):
-        _prep_bwd_kernel(g_ref, x_ref, w_ref, cos_ref, sin_ref, dx_ref,
-                         dw[0] if dw else None, eps=eps, use_norm=use_norm)
+        _bwd_kernel(g_ref, x_ref, w_ref, cos_ref, sin_ref, dx_ref,
+                    dw[0] if dw else None, dh=dh, eps=eps, use_norm=use_norm)
 
     res = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(n // bn,),
         in_specs=[
-            pl.BlockSpec((1, bn, dh), lambda i, h: (h, i, 0)),
-            pl.BlockSpec((bn, dh), lambda i, h: (i, h)),
-            pl.BlockSpec((1, dh), lambda i, h: (0, 0)),
-            pl.BlockSpec((bn, dh), lambda i, h: (i, 0)),
-            pl.BlockSpec((bn, dh), lambda i, h: (i, 0)),
+            pl.BlockSpec((H, bn, dh), lambda i: (0, i, 0)),
+            pl.BlockSpec((bn, hdh), lambda i: (i, 0)),
+            pl.BlockSpec((1, dh), lambda i: (0, 0)),
+            pl.BlockSpec((bn, dh), lambda i: (i, 0)),
+            pl.BlockSpec((bn, dh), lambda i: (i, 0)),
         ],
         out_specs=out_specs,
         out_shape=out_shape,
@@ -204,36 +223,35 @@ def _bwd_kv(gk, gv, k, w, cos, sin, eps, use_norm, interpret):
     n, hdh = k.shape
     dh = cos.shape[-1]
     H = hdh // dh
-    bn = _row_block(n)
-    grid = (n // bn, H)
+    bn = _row_block(n, 5 * hdh * k.dtype.itemsize)
     out_specs = [
-        pl.BlockSpec((bn, dh), lambda i, h: (i, h)),
-        pl.BlockSpec((bn, dh), lambda i, h: (i, h)),
+        pl.BlockSpec((bn, hdh), lambda i: (i, 0)),
+        pl.BlockSpec((bn, hdh), lambda i: (i, 0)),
     ]
     out_shape = [
         jax.ShapeDtypeStruct((n, hdh), k.dtype),
         jax.ShapeDtypeStruct((n, hdh), k.dtype),
     ]
     if use_norm:
-        out_specs.append(pl.BlockSpec((1, dh), lambda i, h: (0, 0)))
+        out_specs.append(pl.BlockSpec((1, dh), lambda i: (0, 0)))
         out_shape.append(jax.ShapeDtypeStruct((1, dh), jnp.float32))
 
     def kernel(gk_ref, gv_ref, k_ref, w_ref, cos_ref, sin_ref,
                dk_ref, dv_ref, *dw):
         _kv_bwd_kernel(gk_ref, gv_ref, k_ref, w_ref, cos_ref, sin_ref,
                        dk_ref, dv_ref, dw[0] if dw else None,
-                       eps=eps, use_norm=use_norm)
+                       dh=dh, eps=eps, use_norm=use_norm)
 
     res = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(n // bn,),
         in_specs=[
-            pl.BlockSpec((1, bn, dh), lambda i, h: (h, i, 0)),
-            pl.BlockSpec((1, bn, dh), lambda i, h: (h, i, 0)),
-            pl.BlockSpec((bn, dh), lambda i, h: (i, h)),
-            pl.BlockSpec((1, dh), lambda i, h: (0, 0)),
-            pl.BlockSpec((bn, dh), lambda i, h: (i, 0)),
-            pl.BlockSpec((bn, dh), lambda i, h: (i, 0)),
+            pl.BlockSpec((H, bn, dh), lambda i: (0, i, 0)),
+            pl.BlockSpec((H, bn, dh), lambda i: (0, i, 0)),
+            pl.BlockSpec((bn, hdh), lambda i: (i, 0)),
+            pl.BlockSpec((1, dh), lambda i: (0, 0)),
+            pl.BlockSpec((bn, dh), lambda i: (i, 0)),
+            pl.BlockSpec((bn, dh), lambda i: (i, 0)),
         ],
         out_specs=out_specs,
         out_shape=out_shape,

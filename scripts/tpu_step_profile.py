@@ -27,9 +27,10 @@ from dynamictreeattn_tpu.models import MODEL_CONFIGS, init_params
 from dynamictreeattn_tpu.tries import TokenTrie
 
 
-def device_op_times(logdir):
+def device_op_times(logdir, with_flops=False):
     """Sum device "XLA Ops" event durations by op name from xplane.pb,
-    excluding control-flow wrapper events (%while/%cond span their bodies)."""
+    excluding control-flow wrapper events (%while/%cond span their bodies).
+    with_flops=True additionally returns (total_flops, name->category)."""
     try:
         from xprof.protobuf import xplane_pb2
     except ImportError:
@@ -41,19 +42,37 @@ def device_op_times(logdir):
     with open(path, "rb") as f:
         xs.ParseFromString(f.read())
     totals = collections.Counter()
+    flops_total = 0
+    cats = {}
     for plane in xs.planes:
         if plane.name != "/device:TPU:0":
             continue
-        emeta = {m.id: m.name for m in plane.event_metadata.values()}
+        smeta = {m.id: m.name for m in plane.stat_metadata.values()}
+        emeta = {}
+        for m in plane.event_metadata.values():
+            st = {smeta.get(s.metadata_id): s for s in m.stats}
+            fl = st.get("flops")
+            cat = st.get("hlo_category")
+            src = st.get("source")
+            emeta[m.id] = (
+                m.name,
+                fl.int64_value or fl.uint64_value if fl else 0,
+                (cat.str_value if cat else "?")
+                + ("|loss" if src and "losses.py" in src.str_value else ""),
+            )
         for line in plane.lines:
             if line.name != "XLA Ops":
                 continue
             for ev in line.events:
-                name = emeta.get(ev.metadata_id, "?")
+                name, fl, cat = emeta.get(ev.metadata_id, ("?", 0, "?"))
                 opname = name.split(" = ")[0]
                 if opname.startswith("%while") or opname.startswith("%cond"):
                     continue
                 totals[name] += ev.duration_ps / 1e9
+                flops_total += fl
+                cats[name] = cat
+    if with_flops:
+        return totals, flops_total, cats
     return totals  # full op text -> ms summed
 
 
@@ -61,7 +80,8 @@ def main():
     modes = sys.argv[1:] or ["split", "fused"]
     mc = MODEL_CONFIGS[os.environ.get("DTA_BENCH_MODEL", "qwen3-0.6b")]
     seqs, attachs = synthetic_rollout_batch(
-        seed=0, n_prompts=1, samples_per_prompt=16,
+        seed=0, n_prompts=int(os.environ.get("DTA_PROF_PROMPTS", "1")),
+        samples_per_prompt=16,
         prompt_len=(1024, 2048), completion_len=(128, 512), branch_prob=0.85,
     )
     params = init_params(mc, jax.random.key(0), dtype=jnp.bfloat16)
@@ -76,23 +96,29 @@ def main():
             for _ in range(3):
                 out = eng.loss_and_grad(params, b)
                 float(out[0]); del out
-        totals = device_op_times(logdir)
+        totals, flops, cats = device_op_times(logdir, with_flops=True)
         n_steps = 3
         buckets = collections.Counter()
         for name, ms in totals.items():
             opname = name.split(" = ")[0]
-            if "tree_attention" in opname:
+            cat = cats.get(name, "other")
+            if "tree_attention" in opname or "qk_prep" in opname:
                 buckets["kernel:" + opname.lstrip("%").split(".")[0]] += ms
-            elif "fusion" in opname or "convolution" in opname:
-                buckets["xla:fusion/dot"] += ms
+            elif cat.endswith("|loss"):
+                buckets["xla:loss"] += ms
+            elif cat in ("convolution fusion", "convolution"):
+                buckets["xla:matmul"] += ms
             elif "copy" in opname:
                 buckets["xla:copy"] += ms
             else:
-                buckets["xla:other"] += ms
+                buckets["xla:" + cat] += ms
         total = sum(totals.values())
-        print(f"\n== {mode}: device total {total/n_steps:.1f} ms/step")
+        print(f"\n== {mode}: device total {total/n_steps:.1f} ms/step; "
+              f"xla-counted {flops/n_steps/1e12:.2f} TFLOP/step "
+              f"-> {flops/1e12/(total/1e3):.1f} TFLOP/s (+ kernel flops, "
+              f"not xla-counted)")
         for k, v in buckets.most_common():
-            print(f"  {k:<18} {v/n_steps:8.2f} ms/step")
+            print(f"  {k:<26} {v/n_steps:8.2f} ms/step")
         print("  top ops:")
         for name, ms in totals.most_common(12):
             print(f"    {ms/n_steps:8.2f} ms  {name[:90]}")
