@@ -343,3 +343,26 @@ def test_pallas_interpret_fused_bwd_matches_split():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
         )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_TPU"),
+    reason="needs the real TPU chip (conftest pins this suite to CPU); "
+    "opt in with RUN_TPU=1 — runs scripts/tpu_kernel_parity.py --check "
+    "in a clean subprocess so the axon backend registers.",
+)
+def test_tpu_kernel_parity_4combo():
+    """All 4 softmax x backward kernel combos vs the dense reference on
+    hardware, bf16 (committed artifact: grad/kernel-parity-bf16.txt)."""
+    import subprocess
+    import sys as _sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    proc = subprocess.run(
+        [_sys.executable,
+         os.path.join(repo, "scripts", "tpu_kernel_parity.py"), "--check"],
+        capture_output=True, text=True, timeout=900, env=env, cwd=repo,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
