@@ -125,6 +125,8 @@ class TrieBatch:
     w_entropy: jnp.ndarray
     valid: jnp.ndarray  # [n] 1.0 real / 0.0 padding (MoE routing mask)
     meta: tuple  # (kv_ids, kv_counts, kv_types, q_ids, q_counts, q_types)
+    # lazily-cached device copy of the per-sequence path matrix
+    _gather_cache: tuple | None = None
 
     @property
     def n_padded(self) -> int:
@@ -288,14 +290,13 @@ class TreeEngine:
         logprob/entropy vectors inside jit (the reference's pluggable
         ``loss_fn(logprobs, entropy, attachment)`` contract,
         reference: tree_training_engine.py:377-398)."""
-        packed = batch.packed
-        S = len(packed.seq_batch_ids)
-        lmax = int(packed.seq_lens.max()) if S else 0
-        paths = np.full((S, lmax), -1, dtype=np.int32)
-        for s in range(S):
-            p = packed.seq_path(s)
-            paths[s, : len(p)] = p
-        return jnp.asarray(paths), jnp.asarray(packed.seq_lens)
+        if batch._gather_cache is None:
+            packed = batch.packed
+            paths = packed.seq_paths_matrix()  # native/cached (tries/flatten)
+            batch._gather_cache = (
+                jnp.asarray(paths), jnp.asarray(packed.seq_lens)
+            )
+        return batch._gather_cache
 
     def loss_and_grad_custom(self, params, batch: TrieBatch, loss_fn, extras=None):
         """Training step with an arbitrary per-sequence loss.
@@ -357,9 +358,10 @@ class TreeEngine:
         lp_edge = np.asarray(lp_edge)
         out: dict[int, np.ndarray] = {}
         packed = batch.packed
+        paths = packed.seq_paths_matrix()
         for s in range(len(packed.seq_batch_ids)):
-            path = packed.seq_path(s)
-            out[int(packed.seq_batch_ids[s])] = lp_edge[path[1:]]
+            L = int(packed.seq_lens[s])
+            out[int(packed.seq_batch_ids[s])] = lp_edge[paths[s, 1:L]]
         return out
 
 

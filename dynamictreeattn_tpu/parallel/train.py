@@ -365,10 +365,9 @@ def stack_batches(
         paths = np.full((len(packeds), S, lmax), -1, np.int32)
         lens = np.zeros((len(packeds), S), np.int32)
         for r, p in enumerate(packeds):
-            for i in range(len(p.seq_batch_ids)):
-                path = p.seq_path(i)
-                paths[r, i, : len(path)] = path
-                lens[r, i] = len(path)
+            m = p.seq_paths_matrix()  # native/cached per-trie path matrix
+            paths[r, : m.shape[0], : m.shape[1]] = m
+            lens[r, : m.shape[0]] = p.seq_lens
         arrays["seq_paths"] = paths
         arrays["seq_lens"] = lens
         if sp > 1:
@@ -809,8 +808,9 @@ def extract_forward(batch: StackedBatch, lp_edge) -> list:
     out = []
     for r, packed in enumerate(batch.packeds):
         rank = {}
+        m = packed.seq_paths_matrix()
         for s in range(len(packed.seq_batch_ids)):
-            path = packed.seq_path(s)
-            rank[int(packed.seq_batch_ids[s])] = lp[r, path[1:]]
+            L = int(packed.seq_lens[s])
+            rank[int(packed.seq_batch_ids[s])] = lp[r, m[s, 1:L]]
         out.append(rank)
     return out

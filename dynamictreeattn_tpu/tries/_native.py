@@ -13,7 +13,8 @@ import threading
 
 import numpy as np
 
-__all__ = ["get_lib", "native_enabled", "lcp_adjacent", "flatten_core", "block_meta_core"]
+__all__ = ["get_lib", "native_enabled", "lcp_adjacent", "flatten_core",
+           "block_meta_core", "endpoints_core", "seq_paths_core"]
 
 _LOCK = threading.Lock()
 _LIB: ctypes.CDLL | None = None
@@ -60,6 +61,13 @@ def get_lib() -> ctypes.CDLL | None:
             lib.tk_block_fill.argtypes = [
                 _i32p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
                 ctypes.c_int64, ctypes.c_int64, _i32p, _i32p, _i32p, _i32p,
+            ]
+            lib.tk_endpoints.argtypes = [
+                _i64p, _i64p, ctypes.c_int64, _i64p, _i64p, ctypes.c_int64,
+                _i64p,
+            ]
+            lib.tk_seq_paths.argtypes = [
+                _i32p, _i64p, _i64p, ctypes.c_int64, ctypes.c_int64, _i32p,
             ]
             _LIB = lib
         except Exception:
@@ -128,3 +136,34 @@ def block_meta_core(last_desc: np.ndarray, bq: int, bk: int,
     q_types = np.zeros((nk, q_w), np.int32)
     lib.tk_block_fill(ld, n, bq, bk, kv_w, q_w, kv_ids, kv_types, q_ids, q_types)
     return kv_ids, kv_counts, kv_types, q_ids, q_counts, q_types
+
+
+def endpoints_core(seqs, lcps: np.ndarray, q_leaf: np.ndarray,
+                   q_len: np.ndarray) -> np.ndarray:
+    """Packed endpoint position per (leaf, length) attachment query
+    (queries sorted by leaf index — the attach_lists iteration order)."""
+    lib = get_lib()
+    _, offsets = _flat_offsets(seqs)
+    out = np.empty(len(q_leaf), np.int64)
+    lib.tk_endpoints(
+        offsets, np.ascontiguousarray(lcps, np.int64), len(seqs),
+        np.ascontiguousarray(q_leaf, np.int64),
+        np.ascontiguousarray(q_len, np.int64), len(q_leaf), out,
+    )
+    return out
+
+
+def seq_paths_core(parent: np.ndarray, end_pos: np.ndarray,
+                   seq_lens: np.ndarray, lmax: int) -> np.ndarray:
+    """[S, lmax] packed root->endpoint paths, -1 padded."""
+    lib = get_lib()
+    S = len(end_pos)
+    paths = np.full((S, max(lmax, 1)), -1, np.int32)
+    if S and lmax:
+        lib.tk_seq_paths(
+            np.ascontiguousarray(parent, np.int32),
+            np.ascontiguousarray(end_pos, np.int64),
+            np.ascontiguousarray(seq_lens, np.int64), S, lmax,
+            paths,
+        )
+    return paths

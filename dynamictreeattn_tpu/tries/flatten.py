@@ -86,12 +86,39 @@ class PackedTrie:
     def seq_path(self, which: int) -> np.ndarray:
         """Packed positions of sequence `which`'s tokens, root → endpoint."""
         length = int(self.seq_lens[which])
-        path = np.empty(length, dtype=np.int32)
-        pos = int(self.seq_end_pos[which])
-        for d in range(length - 1, -1, -1):
-            path[d] = pos
-            pos = int(self.parent[pos])
-        return path
+        return self.seq_paths_matrix()[which, :length]
+
+    def seq_paths_matrix(self) -> np.ndarray:
+        """[n_seqs, Lmax] packed root→endpoint paths, -1 padded — computed
+        once per PackedTrie (native parent-chain walk in treekit, vectorized
+        numpy fallback) and cached: this used to be a per-sequence Python
+        walk re-run on every custom-loss step."""
+        cached = getattr(self, "_paths_cache", None)
+        if cached is not None:
+            return cached
+        from dynamictreeattn_tpu.tries import _native
+
+        S = len(self.seq_lens)
+        lmax = int(self.seq_lens.max()) if S else 0
+        if _native.native_enabled():
+            paths = _native.seq_paths_core(
+                self.parent, self.seq_end_pos.astype(np.int64),
+                self.seq_lens.astype(np.int64), lmax,
+            )
+        else:
+            paths = np.full((S, max(lmax, 1)), -1, np.int32)
+            pos = self.seq_end_pos.astype(np.int64).copy()
+            d = self.seq_lens.astype(np.int64) - 1
+            for _ in range(lmax):
+                act = d >= 0
+                if not act.any():
+                    break
+                rows = np.nonzero(act)[0]
+                paths[rows, d[act]] = pos[act]
+                pos[act] = self.parent[pos[act]]
+                d -= 1
+        self._paths_cache = paths
+        return paths
 
     def validate(self) -> None:
         n = self.n_tokens
@@ -128,31 +155,49 @@ def flatten_trie(
     lcps = np.concatenate([[0], trie.lcp_lens]) if trie.n_leaves > 1 else np.array([0])
     n = int(lens.sum() - lcps[1:].sum()) if trie.n_leaves > 1 else int(lens[0])
 
+    # attachment queries (python-light: one iteration per sequence endpoint,
+    # no numpy ops — typically one per leaf)
+    q_leaf: list[int] = []
+    q_len: list[int] = []
+    q_wlp: list[float] = []
+    q_went: list[float] = []
+    seq_batch_ids: list[int] = []
+    for i in range(trie.n_leaves):
+        for attachment, length in trie.attach_lists[i]:
+            w_lp, w_ent = weight_fn(attachment, length)
+            q_leaf.append(i)
+            q_len.append(length)
+            q_wlp.append(w_lp)
+            q_went.append(w_ent)
+            seq_batch_ids.append(int(attachment["_sequence_batch_id"]))
+    q_leaf_a = np.asarray(q_leaf, np.int64)
+    q_len_a = np.asarray(q_len, np.int64)
+    q_wlp_a = np.asarray(q_wlp, np.float64)
+    q_went_a = np.asarray(q_went, np.float64)
+
     if use_native:
+        # all O(n)/O(n_leaves) passes in treekit; endpoint resolution via
+        # the native stack sweep, weight scatter vectorized
         tokens, depth, parent, last_desc = _native.flatten_core(
             trie.inputs, np.asarray(trie.lcp_lens, np.int64)
+        )
+        end_a = _native.endpoints_core(
+            trie.inputs, np.asarray(trie.lcp_lens, np.int64), q_leaf_a, q_len_a
         )
     else:
         tokens = np.zeros(n, dtype=np.int32)
         depth = np.zeros(n, dtype=np.int32)
         parent = np.full(n, -1, dtype=np.int32)
-
-    # endpoint pass: per-leaf stack bookkeeping (numpy-sliced, O(n) total)
-    acc_lp = np.zeros(n, dtype=np.float64)
-    acc_ent = np.zeros(n, dtype=np.float64)
-    seq_batch_ids: list[int] = []
-    seq_end_pos: list[int] = []
-    seq_lens: list[int] = []
-
-    stack_pos = np.full(int(lens.max()) + 1, -1, dtype=np.int64)  # depth -> pos
-    cursor = 0
-    for i in range(trie.n_leaves):
-        seq = trie.inputs[i]
-        start = int(lcps[i])
-        new = len(seq) - start
-        if new > 0:
-            sl = slice(cursor, cursor + new)
-            if not use_native:
+        end_a = np.empty(len(q_leaf), np.int64)
+        stack_pos = np.full(int(lens.max()) + 1, -1, dtype=np.int64)
+        cursor = 0
+        qi = 0
+        for i in range(trie.n_leaves):
+            seq = trie.inputs[i]
+            start = int(lcps[i])
+            new = len(seq) - start
+            if new > 0:
+                sl = slice(cursor, cursor + new)
                 tokens[sl] = seq[start:]
                 depth[sl] = np.arange(start, len(seq), dtype=np.int32)
                 parent[sl] = np.concatenate(
@@ -161,18 +206,20 @@ def flatten_trie(
                         np.arange(cursor, cursor + new - 1, dtype=np.int64),
                     ]
                 )
-            stack_pos[start : len(seq)] = np.arange(cursor, cursor + new)
-            cursor += new
-        for attachment, length in trie.attach_lists[i]:
-            end = int(stack_pos[length - 1])
-            w_lp, w_ent = weight_fn(attachment, length)
-            if length > 1:
-                acc_lp[end] += w_lp / (length - 1)
-            acc_ent[end] += w_ent / length
-            seq_batch_ids.append(int(attachment["_sequence_batch_id"]))
-            seq_end_pos.append(end)
-            seq_lens.append(length)
-    assert cursor == n
+                stack_pos[start : len(seq)] = np.arange(cursor, cursor + new)
+                cursor += new
+            while qi < len(q_leaf) and q_leaf[qi] == i:
+                end_a[qi] = stack_pos[q_len[qi] - 1]
+                qi += 1
+        assert cursor == n
+
+    acc_lp = np.zeros(n, dtype=np.float64)
+    acc_ent = np.zeros(n, dtype=np.float64)
+    multi = q_len_a > 1
+    np.add.at(acc_lp, end_a[multi], q_wlp_a[multi] / (q_len_a[multi] - 1))
+    np.add.at(acc_ent, end_a, q_went_a / q_len_a)
+    seq_end_pos = end_a
+    seq_lens = q_len_a
 
     if not use_native:
         # last_desc via monotone depth stack (DFS layout property).

@@ -161,3 +161,45 @@ void tk_block_fill(const int32_t* last_desc, int64_t n, int64_t bq, int64_t bk,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Endpoint positions for sequence attachments: replay the DFS stack sweep
+// (offsets/lcps as in tk_flatten) and, for each query (leaf index asc,
+// length), record the packed position of the path node at depth length-1.
+// Queries MUST be sorted by leaf index (tk callers emit them in leaf order).
+void tk_endpoints(const int64_t* offsets, const int64_t* lcps,
+                  int64_t n_seqs, const int64_t* q_leaf, const int64_t* q_len,
+                  int64_t n_q, int64_t* out_end) {
+  int64_t max_len = 0;
+  for (int64_t i = 0; i < n_seqs; ++i)
+    max_len = std::max(max_len, offsets[i + 1] - offsets[i]);
+  std::vector<int64_t> stack_pos(static_cast<size_t>(max_len) + 1, -1);
+  int64_t cursor = 0;
+  int64_t qi = 0;
+  for (int64_t i = 0; i < n_seqs; ++i) {
+    int64_t len = offsets[i + 1] - offsets[i];
+    int64_t start = i == 0 ? 0 : lcps[i - 1];
+    for (int64_t t = start; t < len; ++t) stack_pos[t] = cursor++;
+    while (qi < n_q && q_leaf[qi] == i) {
+      out_end[qi] = stack_pos[q_len[qi] - 1];
+      ++qi;
+    }
+  }
+}
+
+// Per-sequence root->endpoint packed paths, one walk up the parent chain
+// each. paths is [n_q, lmax] row-major, pre-filled with -1 by the caller.
+void tk_seq_paths(const int32_t* parent, const int64_t* end_pos,
+                  const int64_t* seq_len, int64_t n_q, int64_t lmax,
+                  int32_t* paths) {
+  for (int64_t s = 0; s < n_q; ++s) {
+    int64_t pos = end_pos[s];
+    for (int64_t d = seq_len[s] - 1; d >= 0; --d) {
+      paths[s * lmax + d] = static_cast<int32_t>(pos);
+      pos = parent[pos];
+    }
+  }
+}
+
+}  // extern "C"

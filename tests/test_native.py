@@ -59,3 +59,27 @@ def test_native_lcp():
     trie = TokenTrie(seqs, [{} for _ in seqs])  # sorted inside
     got = _native.lcp_adjacent(trie.inputs)
     np.testing.assert_array_equal(got, trie.lcp_lens)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_seq_paths_native_equals_numpy_and_bruteforce(seed):
+    """seq_paths_matrix (native parent-chain walk) == vectorized numpy
+    fallback == brute-force per-sequence walk."""
+    rng = np.random.default_rng(100 + seed)
+    seqs, attachs = random_trie_batch(rng, n_seqs=16, max_len=30)
+    trie = TokenTrie(seqs, attachs)
+    a = flatten_trie(trie, pad_to=None)
+    b = _numpy_path(flatten_trie, trie, pad_to=None)
+    pa = a.seq_paths_matrix()
+    pb = _numpy_path(lambda: b.seq_paths_matrix())
+    np.testing.assert_array_equal(pa, pb)
+    # brute force: walk each parent chain in python
+    for s in range(len(a.seq_batch_ids)):
+        L = int(a.seq_lens[s])
+        pos = int(a.seq_end_pos[s])
+        want = []
+        for _ in range(L):
+            want.append(pos)
+            pos = int(a.parent[pos])
+        np.testing.assert_array_equal(pa[s, :L], want[::-1])
+        assert np.all(pa[s, L:] == -1)
