@@ -665,14 +665,16 @@ def generate_grouped(params, config: Qwen3Config, prompts, prompt_lens,
     tree-training engine's prefix sharing. With `eos_id`, tokens after a
     sampled eos are forced to eos (truncate host-side).
 
-    backend: "auto" (pallas decode-attention kernel on TPU, plain XLA
-    elsewhere) | "pallas" | "xla"."""
+    backend: "auto" (= "xla" — the measured-default: the XLA einsum path
+    beats the pallas decode kernel 6.2k vs 4.6k sampled tok/s at GRPO
+    shapes on v5e, scripts/tpu_decode_backend_ab.py / docs/PERF.md)
+    | "pallas" | "xla"."""
     import numpy as np
 
     if key is None:
         key = jax.random.key(0)
     if backend == "auto":
-        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+        backend = "xla"
     return np.asarray(_generate_grouped_jit(
         params, config, jnp.asarray(prompts, jnp.int32),
         jnp.asarray(prompt_lens, jnp.int32), key, int(group), int(max_new),
