@@ -53,6 +53,19 @@ def main(argv=None):
     p.add_argument("--fwd-only", action="store_true",
                    help="compile engine.loss (inference) instead of "
                         "loss_and_grad")
+    # sharded warmup: pre-bake the dp x tp (x fsdp) train step — the
+    # expensive compiles of a pod bring-up — from ShapeDtypeStructs with
+    # the canonical NamedShardings attached (so the runtime step, whose
+    # params/batches carry the same shardings, hits the persistent cache)
+    p.add_argument("--dp", type=int, default=0,
+                   help=">0: warm the SHARDED train step on a dp x tp mesh "
+                        "(parallel.make_train_step) instead of the "
+                        "single-chip engine")
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--fsdp", action="store_true")
+    p.add_argument("--opt", action="store_true",
+                   help="warm the adamw optimizer step (Trainer path) "
+                        "rather than grads-only")
     args = p.parse_args(argv)
 
     import jax
@@ -76,6 +89,9 @@ def main(argv=None):
             break
         buckets.append(b)
         n = b + 1
+
+    if args.dp > 0:
+        return _warm_sharded(args, mc, ec, pshapes, buckets)
     fn = engine._loss_fn if args.fwd_only else engine._grad_fn
 
     total = 0.0
@@ -112,6 +128,78 @@ def main(argv=None):
             print(f"bucket {n_pad:7d}  kv_w {kv_w:4d}  q_w {q_w:4d}  "
                   f"compiled in {dt:6.1f}s", flush=True)
     print(f"warmed {len(buckets)} buckets in {total:.0f}s", file=sys.stderr)
+
+
+def _warm_sharded(args, mc, ec, pshapes, buckets):
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding
+
+    from dynamictreeattn_tpu.parallel import make_mesh
+    from dynamictreeattn_tpu.parallel.train import (
+        batch_partition_specs, fsdp_param_specs, make_train_step,
+        param_specs, FSDP_MIN_SIZE,
+    )
+
+    mesh = make_mesh(dp=args.dp, tp=args.tp)
+    optimizer = None
+    if args.opt:
+        import optax
+
+        optimizer = optax.adamw(1e-5)
+    step = make_train_step(mc, mesh, ec, optimizer=optimizer,
+                           fsdp=args.fsdp)
+    pspecs = (
+        fsdp_param_specs(mc, args.dp, FSDP_MIN_SIZE)
+        if args.fsdp and args.dp > 1 else param_specs(mc)
+    )
+    sd = jax.ShapeDtypeStruct
+    psh = jax.tree.map(
+        lambda a, spec: sd(a.shape, a.dtype, sharding=NamedSharding(mesh, spec)),
+        pshapes, pspecs,
+    )
+    opt_sh = None
+    if optimizer is not None:
+        from dynamictreeattn_tpu.parallel.train import init_opt_state
+
+        opt_sh = jax.eval_shape(lambda p: init_opt_state(optimizer, p), psh)
+    bspec = batch_partition_specs(1, "ulysses")
+    i32, f32 = jnp.int32, jnp.float32
+    total = 0.0
+    for n_pad in buckets:
+        nq, nk = n_pad // ec.block_q, n_pad // ec.block_kv
+        kv_ws, q_ws = _pow2_widths(nk), _pow2_widths(nq)
+        depth_ = max(len(kv_ws), len(q_ws))
+        ext = lambda ws: ws + [ws[-1]] * (depth_ - len(ws))
+        for kv_w, q_w in zip(ext(kv_ws), ext(q_ws)):
+            shapes = {
+                "tokens": (i32, (n_pad,)), "depth": (i32, (n_pad,)),
+                "parent": (i32, (n_pad,)), "last_desc": (i32, (n_pad,)),
+                "w_logprob": (f32, (n_pad,)), "w_entropy": (f32, (n_pad,)),
+                "valid": (f32, (n_pad,)),
+                "kv_ids": (i32, (nq, kv_w)), "kv_counts": (i32, (nq,)),
+                "kv_types": (i32, (nq, kv_w)), "q_ids": (i32, (nk, q_w)),
+                "q_counts": (i32, (nk,)), "q_types": (i32, (nk, q_w)),
+            }
+            batch_sh = {
+                k: sd((args.dp,) + shp, dt,
+                      sharding=NamedSharding(mesh, bspec[k]))
+                for k, (dt, shp) in shapes.items()
+            }
+            t0 = time.time()
+            if optimizer is None:
+                step.lower(psh, batch_sh).compile()
+            else:
+                step.lower(psh, opt_sh, batch_sh).compile()
+            dt = time.time() - t0
+            total += dt
+            print(f"sharded bucket {n_pad:7d}  kv_w {kv_w:4d}  q_w {q_w:4d}"
+                  f"  dp={args.dp} tp={args.tp} fsdp={args.fsdp} "
+                  f"opt={args.opt}  compiled in {dt:6.1f}s", flush=True)
+    print(f"warmed {len(buckets)} sharded buckets in {total:.0f}s",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -138,3 +138,44 @@ def test_warmup_cli(capsys):
     ])
     out = capsys.readouterr().out
     assert "compiled in" in out
+
+
+def test_warmup_cli_sharded_cache_hit(capsys):
+    """--dp/--tp warmup AOT-lowers the SHARDED train step (dp x tp mesh,
+    canonical NamedShardings, optimizer update included) and bakes it into
+    the persistent compilation cache: a second identical warmup — the same
+    construction a pod bring-up's Trainer performs — must hit the cache and
+    run much faster. (conftest points JAX_COMPILATION_CACHE_DIR at a
+    persistent dir.)"""
+    import tempfile
+    import time
+
+    import jax
+
+    from dynamictreeattn_tpu.cli import warmup
+
+    args = [
+        "--model", "qwen3-tiny", "--dtype", "fp32",
+        "--attn-backend", "reference", "--block-q", "32", "--block-kv", "32",
+        "--max-len", "96", "--dp", "4", "--tp", "2", "--opt",
+    ]
+    prev = jax.config.jax_compilation_cache_dir
+    with tempfile.TemporaryDirectory() as fresh:
+        try:
+            jax.config.update("jax_compilation_cache_dir", fresh)
+            t0 = time.time()
+            warmup.main(args)
+            t_cold = time.time() - t0
+            out = capsys.readouterr().out
+            assert "sharded bucket" in out and "dp=4 tp=2" in out
+            import os
+
+            assert len(os.listdir(fresh)) > 0  # entries actually persisted
+            t0 = time.time()
+            warmup.main(args)
+            t_warm = time.time() - t0
+        finally:
+            jax.config.update("jax_compilation_cache_dir", prev)
+    # second pass pays tracing + cache loads only; a miss would recompile
+    # (cold ~10s+ even at tiny shapes)
+    assert t_warm < max(0.6 * t_cold, t_cold - 4), (t_cold, t_warm)
