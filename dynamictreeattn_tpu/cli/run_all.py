@@ -65,6 +65,12 @@ def main(argv=None):
     total_time = 0.0
     for idx, f in enumerate(files):
         seqs = load_sequences(f)
+        if not seqs:
+            # the contiguous DFS-TM partitioner may emit empty bins when the
+            # makespan-optimal split uses fewer than K segments — an empty
+            # bin is a 0-time device, not an error
+            print(f"# skip empty {f}", file=sys.stderr)
+            continue
         attachs = [
             {"w_logprobs": args.w_logprobs, "w_entropy": args.w_entropy}
             for _ in seqs
