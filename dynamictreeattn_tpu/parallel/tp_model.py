@@ -67,7 +67,7 @@ def _embed_vp(embed_local, tokens, axis):
 def _layer_tp(
     x, lp, cos, sin, config: Qwen3Config, attn_fn, tp: int, axis: str,
     sp: int = 1, seq_axis: str = "seq", ep: int = 1, ep_axis: str = "data",
-    sp_mode: str = "ulysses", valid=None,
+    sp_mode: str = "ulysses", valid=None, fused_qk: bool = False,
 ):
     c = config
     n = x.shape[0]
@@ -85,6 +85,22 @@ def _layer_tp(
         q = q + lp["bq"]
         k = k + lp["bk"]
         v = v + lp["bv"]
+    if fused_qk and not (sp > 1 and sp_mode == "ulysses"):
+        # fused per-head norm+rope+head-major transpose (ops/qk_prep.py) on
+        # this rank's LOCAL heads — same kernels as the single-chip engine;
+        # q_norm/k_norm grads stay per-rank partial (psum("model") in the
+        # train step, unchanged). The Ulysses path keeps the unfused chain
+        # (its all-to-all wants the [n, h, d] layout).
+        from dynamictreeattn_tpu.ops.qk_prep import qkv_prep
+
+        qw = lp["q_norm"] if c.use_qk_norm else jnp.ones((dh,), x.dtype)
+        kw = lp["k_norm"] if c.use_qk_norm else jnp.ones((dh,), x.dtype)
+        qt, kt, vt = qkv_prep(q, k, v, qw, kw, cos, sin, eps, c.use_qk_norm)
+        o = attn_fn(qt, kt, vt)
+        o = o.transpose(1, 0, 2).reshape(n, hq_l * dh)
+        x = x + mpar_out(o @ lp["wo"], axis)
+        return _layer_tp_mlp(x, lp, c, tp, axis, sp, seq_axis, ep, ep_axis,
+                             valid)
     q = q.reshape(n, hq_l, dh)
     k = k.reshape(n, hkv_l, dh)
     v = v.reshape(n, hkv_l, dh)
@@ -119,7 +135,11 @@ def _layer_tp(
         o = attn_fn(q.transpose(1, 0, 2), k.transpose(1, 0, 2), v.transpose(1, 0, 2))
         o = o.transpose(1, 0, 2).reshape(n, hq_l * dh)
     x = x + mpar_out(o @ lp["wo"], axis)
+    return _layer_tp_mlp(x, lp, c, tp, axis, sp, seq_axis, ep, ep_axis, valid)
 
+
+def _layer_tp_mlp(x, lp, c, tp, axis, sp, seq_axis, ep, ep_axis, valid):
+    eps = c.rms_norm_eps
     h_norm = rms_norm(x, lp["ln2"], eps)
     if c.is_moe:
         # under sequence parallelism every seq rank routes a slice of the
@@ -276,6 +296,7 @@ def forward_hidden_tp(
     ep_axis: str = "data",
     sp_mode: str = "ulysses",
     valid=None,
+    fused_qk: bool = False,
 ):
     """Like models.qwen3.forward_hidden_aux but on tp-sharded local params.
     Returns (hidden, aux) with aux["lb_loss"] the summed router
@@ -299,6 +320,7 @@ def forward_hidden_tp(
 
     body = functools.partial(
         _layer_tp, config=c, attn_fn=attn_fn, tp=tp, axis=axis, sp=sp,
+        fused_qk=fused_qk,
         seq_axis=seq_axis, ep=ep, ep_axis=ep_axis, sp_mode=sp_mode,
         valid=valid,
     )

@@ -535,6 +535,10 @@ def make_train_step(
             f"experts {mc.num_experts} must divide ep={ep_size} × tp={tp}"
         )
     fsdp = fsdp and dp > 1
+    # fused qk-prep kernels need the real Pallas backend (same hardware
+    # requirement as the attention kernel); the Ulysses path opts out
+    # inside _layer_tp
+    fused_qk = ec.attn_backend == "pallas" and not ec.interpret
     if fsdp:
         dims = fsdp_dims(mc, dp, fsdp_min_size, ep_size)
         pspecs = fsdp_param_specs(mc, dp, fsdp_min_size, ep_size)
@@ -602,6 +606,7 @@ def make_train_step(
                 sp_mode=sp_mode,
                 ep=ep_size,
                 valid=val_in,
+                fused_qk=fused_qk,
             )
             w_local = p["embed"].T if mc.tie_word_embeddings else p["lm_head"]
             if custom_loss is not None:
@@ -756,6 +761,10 @@ def make_forward_step(
         )
     ep_size = dp if (ep and mc.is_moe) else 1
     fsdp = fsdp and dp > 1
+    # fused qk-prep kernels need the real Pallas backend (same hardware
+    # requirement as the attention kernel); the Ulysses path opts out
+    # inside _layer_tp
+    fused_qk = ec.attn_backend == "pallas" and not ec.interpret
     if fsdp:
         dims = fsdp_dims(mc, dp, fsdp_min_size, ep_size)
         pspecs = fsdp_param_specs(mc, dp, fsdp_min_size, ep_size)
@@ -778,6 +787,7 @@ def make_forward_step(
             unshard_fn=unshard_layer,
             ep=ep_size,
             valid=fields["valid"],
+            fused_qk=fused_qk,
         )
         w_local = params["embed"].T if mc.tie_word_embeddings else params["lm_head"]
         lp, ent = vp_tree_edge_logprobs(
