@@ -602,11 +602,34 @@ def _generate_grouped_jit(params, config, prompts, prompt_lens, key, group,
     tok0 = sample(jnp.broadcast_to(last[:, None, :], (P, G, last.shape[-1])),
                   k0)  # [P, G]
 
-    ckc = jnp.zeros(
-        (c.num_hidden_layers, P, G, c.num_key_value_heads, n_alloc,
-         c.head_dim), dtype,
-    )
-    cvc = jnp.zeros_like(ckc)
+    # Windowed branch caches (xla backend): the branch-KV reads are ~40% of
+    # decode HBM traffic and a fixed max_new-wide cache wastes ~half of it
+    # on not-yet-written columns. Grow the allocation in W-column segments
+    # instead (each segment compiles once; jnp.pad between segments is one
+    # in-sequence copy). The pallas decode kernel keeps the single
+    # chunk-divisible allocation its cache contract requires.
+    W = 128
+    if backend != "xla" or max_new <= W:
+        bounds = [(0, max_new, n_alloc)]
+    else:
+        bounds = []
+        lo = 0
+        while lo < max_new:
+            hi = min(lo + W, max_new)
+            bounds.append((lo, hi, hi))
+            lo = hi
+
+    def cache_zeros(width):
+        return jnp.zeros(
+            (c.num_hidden_layers, P, G, c.num_key_value_heads, width,
+             c.head_dim), dtype,
+        )
+
+    def grow(cache, width):
+        pad = width - cache.shape[4]
+        if pad == 0:
+            return cache
+        return jnp.pad(cache, ((0, 0),) * 4 + ((0, pad), (0, 0)))
 
     def step_fn(tok, t, ckc, cvc, key):
         logits, ckc, cvc = _decode_step_grouped(
@@ -623,19 +646,25 @@ def _generate_grouped_jit(params, config, prompts, prompt_lens, key, group,
             nxt, ckc, cvc, key = step_fn(tok, t, ckc, cvc, key)
             return (nxt, ckc, cvc, key), tok
 
-        (_, _, _, _), toks = jax.lax.scan(
-            decode, (tok0, ckc, cvc, key), jnp.arange(max_new)
-        )
+        tok = tok0
+        ckc = cvc = None
+        segs = []
+        for lo, hi, width in bounds:
+            ckc = cache_zeros(width) if ckc is None else grow(ckc, width)
+            cvc = cache_zeros(width) if cvc is None else grow(cvc, width)
+            (tok, ckc, cvc, key), toks = jax.lax.scan(
+                decode, (tok, ckc, cvc, key), jnp.arange(lo, hi)
+            )
+            segs.append(toks)
+        toks = segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=0)
         return jnp.transpose(toks, (1, 2, 0))  # [P, G, max_new]
 
     # eos mode: while_loop with early exit once EVERY branch has sampled
     # eos — real completions usually end well before max_new, and the
-    # pre-filled eos buffer is exactly the forced-eos-tail contract
+    # pre-filled eos buffer is exactly the forced-eos-tail contract.
+    # Windowing composes: each segment's while_loop exits immediately once
+    # everything is done, so later (larger-cache) segments cost nothing.
     buf0 = jnp.full((max_new, P, G), eos_id.astype(jnp.int32))
-
-    def cond(carry):
-        t, tok, done, ckc, cvc, key, buf = carry
-        return (t < max_new) & ~jnp.all(done)
 
     def body(carry):
         t, tok, done, ckc, cvc, key, buf = carry
@@ -645,8 +674,20 @@ def _generate_grouped_jit(params, config, prompts, prompt_lens, key, group,
         nxt = jnp.where(done_next, eos_id.astype(jnp.int32), nxt)
         return (t + 1, nxt, done_next, ckc, cvc, key, buf)
 
-    carry = (jnp.int32(0), tok0, done0, ckc, cvc, key, buf0)
-    *_, buf = jax.lax.while_loop(cond, body, carry)
+    t = jnp.int32(0)
+    tok, done, buf = tok0, done0, buf0
+    ckc = cvc = None
+    for lo, hi, width in bounds:
+        ckc = cache_zeros(width) if ckc is None else grow(ckc, width)
+        cvc = cache_zeros(width) if cvc is None else grow(cvc, width)
+
+        def cond(carry, _hi=hi):
+            t, tok, done, ckc, cvc, key, buf = carry
+            return (t < _hi) & ~jnp.all(done)
+
+        t, tok, done, ckc, cvc, key, buf = jax.lax.while_loop(
+            cond, body, (t, tok, done, ckc, cvc, key, buf)
+        )
     return jnp.transpose(buf, (1, 2, 0))  # [P, G, max_new]
 
 
