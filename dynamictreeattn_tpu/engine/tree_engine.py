@@ -63,10 +63,13 @@ class EngineConfig:
     # no online-softmax chain — see ops/tree_attention.py) for qk-normed
     # models, "online" otherwise; or force either mode explicitly
     fwd_softmax: str = "auto"
-    # backward kernels: "auto"/"fused" = one query-major kernel emits
-    # dq+dk+dv (computes the score/exp/dp chain once per block pair; dq in
-    # VMEM scratch, dk/dv via explicit HBM read-modify-write DMAs —
-    # ops/tree_attention.py); "split" = separate dq/dkv kernels
+    # backward kernels: "auto" = "cached" on the engine path (the fused
+    # query-major dq+dk+dv kernel with its dk/dv accumulators resident in a
+    # VMEM slot cache driven by a host-precomputed Belady schedule —
+    # ops/tree_attention.py, tries/flatten.py build_bwd_cache_sched);
+    # "fused" = the same kernel with per-visit HBM read-modify-write DMAs
+    # (no host schedule needed — what the sharded steps use); "split" =
+    # separate dq/dkv kernels
     bwd_mode: str = "auto"
     # fuse per-head qk-norm + rope + head-major transpose into Pallas
     # kernels with analytic backward (ops/qk_prep.py): "auto" = on whenever
@@ -171,6 +174,19 @@ class TreeEngine:
                 min_kv_slots=_next_pow2(meta.kv_ids.shape[1]),
                 min_q_slots=_next_pow2(meta.q_ids.shape[1]),
             )
+        extra = ()
+        if self._bwd_mode() == "cached":
+            from dynamictreeattn_tpu.ops.tree_attention import cached_bwd_geometry
+            from dynamictreeattn_tpu.tries import build_bwd_cache_sched
+
+            hkv = self.mc.num_key_value_heads
+            _, n_slots = cached_bwd_geometry(
+                hkv, self.mc.num_attention_heads // hkv,
+                cfg.block_q, cfg.block_kv, self.mc.head_dim,
+                meta.n_kv_blocks, BlockSizes().head_block,
+            )
+            sched = build_bwd_cache_sched(meta, n_slots)
+            extra = (jnp.asarray(sched.actions), jnp.asarray(sched.flush))
         return TrieBatch(
             packed=packed,
             tokens=jnp.asarray(packed.tokens),
@@ -190,7 +206,8 @@ class TreeEngine:
                     meta.q_counts,
                     meta.q_types,
                 )
-            ),
+            )
+            + extra,
         )
 
     # ------------------------------------------------------------- internals
@@ -202,9 +219,13 @@ class TreeEngine:
             bs = BlockSizes(cfg.block_q, cfg.block_kv)
             mode = self._fwd_softmax()
             bwd = self._bwd_mode()
+            sched = meta[6:] if len(meta) > 6 else None
+            if bwd == "cached" and sched is None:
+                bwd = "fused"  # batch prepared without a schedule
             return lambda q, k, v: tree_attention(
-                q, k, v, last_desc, *meta, block_sizes=bs,
+                q, k, v, last_desc, *meta[:6], block_sizes=bs,
                 interpret=cfg.interpret, softmax_mode=mode, bwd_mode=bwd,
+                cache_sched=sched,
             )
         raise ValueError(f"unknown attn_backend {cfg.attn_backend!r}")
 
@@ -212,6 +233,11 @@ class TreeEngine:
         return resolve_kernel_modes(self.mc, self.cfg)[0]
 
     def _bwd_mode(self) -> str:
+        # "auto" upgrades to the cached fused backward on the engine path,
+        # where prepare() owns the host-side Belady schedule; the sharded
+        # step builders (resolve_kernel_modes) stay on "fused".
+        if self.cfg.bwd_mode == "auto" and self.cfg.attn_backend == "pallas":
+            return "cached"
         return resolve_kernel_modes(self.mc, self.cfg)[1]
 
     def _fused_qk(self) -> bool:

@@ -19,6 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from dynamictreeattn_tpu.ops.sampling import filter_logits
 from dynamictreeattn_tpu.models.qwen3 import (
     Qwen3Config,
     _moe_block,
@@ -257,10 +258,13 @@ def forward_step(params, config: Qwen3Config, tokens, positions, cache_k,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("config", "max_new", "greedy", "use_eos"),
+    static_argnames=("config", "max_new", "greedy", "use_eos", "top_k",
+                     "use_top_p", "use_min_p"),
 )
 def _generate_jit(params, config, prompts, prompt_lens, key, max_new,
-                  temperature, greedy, use_eos, eos_id):
+                  temperature, greedy, use_eos, eos_id,
+                  top_k=0, use_top_p=False, top_p=1.0,
+                  use_min_p=False, min_p=0.0):
     # temperature and eos_id are TRACED (plain numeric operands) so sweeping
     # or annealing them never recompiles; greedy/use_eos change control flow
     # and stay static
@@ -298,9 +302,11 @@ def _generate_jit(params, config, prompts, prompt_lens, key, max_new,
     def sample(lg, k):
         if greedy:
             return jnp.argmax(lg, axis=-1).astype(jnp.int32)
-        return jax.random.categorical(k, lg / temperature, axis=-1).astype(
-            jnp.int32
-        )
+        lg = lg / temperature
+        if top_k or use_top_p or use_min_p:
+            lg = filter_logits(lg, top_k, top_p if use_top_p else None,
+                               min_p if use_min_p else None)
+        return jax.random.categorical(k, lg, axis=-1).astype(jnp.int32)
 
     key, k0 = jax.random.split(key)
     tok0 = sample(last, k0)
@@ -548,11 +554,13 @@ def _decode_step_grouped(params, c: Qwen3Config, tok, plens, t, ckp, cvp,
 @functools.partial(
     jax.jit,
     static_argnames=("config", "group", "max_new", "greedy", "use_eos",
-                     "backend"),
+                     "backend", "top_k", "use_top_p", "use_min_p"),
 )
 def _generate_grouped_jit(params, config, prompts, prompt_lens, key, group,
                           max_new, temperature, greedy, use_eos, eos_id,
-                          backend="xla"):
+                          backend="xla",
+                          top_k=0, use_top_p=False, top_p=1.0,
+                          use_min_p=False, min_p=0.0):
     P, Lp = prompts.shape
     G = group
     c = config
@@ -594,9 +602,11 @@ def _generate_grouped_jit(params, config, prompts, prompt_lens, key, group,
         # lg [..., V] — categorical samples independently per leading dim
         if greedy:
             return jnp.argmax(lg, axis=-1).astype(jnp.int32)
-        return jax.random.categorical(k, lg / temperature, axis=-1).astype(
-            jnp.int32
-        )
+        lg = lg / temperature
+        if top_k or use_top_p or use_min_p:
+            lg = filter_logits(lg, top_k, top_p if use_top_p else None,
+                               min_p if use_min_p else None)
+        return jax.random.categorical(k, lg, axis=-1).astype(jnp.int32)
 
     key, k0 = jax.random.split(key)
     tok0 = sample(jnp.broadcast_to(last[:, None, :], (P, G, last.shape[-1])),
@@ -694,7 +704,9 @@ def _generate_grouped_jit(params, config, prompts, prompt_lens, key, group,
 def generate_grouped(params, config: Qwen3Config, prompts, prompt_lens,
                      group: int, max_new: int, key=None,
                      temperature: float = 1.0, greedy: bool = False,
-                     eos_id: int | None = None, backend: str = "auto"):
+                     eos_id: int | None = None, backend: str = "auto",
+                     top_k: int = 0, top_p: float | None = None,
+                     min_p: float | None = None):
     """Sample `group` completions per prompt with a SHARED prompt KV cache.
 
     prompts [P, Lp] int32 (right-padded), prompt_lens [P] — returns
@@ -704,7 +716,10 @@ def generate_grouped(params, config: Qwen3Config, prompts, prompt_lens,
     G-times-duplicated prompt batch (greedy-parity-tested), at 1/G of the
     prefill compute and prompt-KV footprint — the rollout-side mirror of the
     tree-training engine's prefix sharing. With `eos_id`, tokens after a
-    sampled eos are forced to eos (truncate host-side).
+    sampled eos are forced to eos (truncate host-side). `top_k`/`top_p`/
+    `min_p` filter logits after temperature with HF-warper semantics
+    (ops/sampling.py; top_k is static, top_p/min_p traced — sweeping them
+    never recompiles).
 
     backend: "auto" (= "xla" — the measured-default: the XLA einsum path
     beats the pallas decode kernel 6.2k vs 4.6k sampled tok/s at GRPO
@@ -722,17 +737,24 @@ def generate_grouped(params, config: Qwen3Config, prompts, prompt_lens,
         jnp.float32(temperature), bool(greedy),
         eos_id is not None, jnp.int32(eos_id if eos_id is not None else 0),
         backend=backend,
+        top_k=int(top_k), use_top_p=top_p is not None,
+        top_p=jnp.float32(1.0 if top_p is None else top_p),
+        use_min_p=min_p is not None,
+        min_p=jnp.float32(0.0 if min_p is None else min_p),
     ))
 
 
 def generate(params, config: Qwen3Config, prompts, prompt_lens, max_new: int,
              key=None, temperature: float = 1.0, greedy: bool = False,
-             eos_id: int | None = None):
+             eos_id: int | None = None, top_k: int = 0,
+             top_p: float | None = None, min_p: float | None = None):
     """Sample `max_new` continuation tokens for each right-padded prompt row.
 
     prompts [B, Lp] int32, prompt_lens [B] — returns [B, max_new] int32
     (compose full sequences as prompt[:len] + row). With `eos_id`, every
-    token after a sampled eos is forced to eos (truncate host-side)."""
+    token after a sampled eos is forced to eos (truncate host-side).
+    `top_k`/`top_p`/`min_p` filter logits after temperature with HF-warper
+    semantics (ops/sampling.py)."""
     import numpy as np
 
     if key is None:
@@ -742,4 +764,8 @@ def generate(params, config: Qwen3Config, prompts, prompt_lens, max_new: int,
         jnp.asarray(prompt_lens, jnp.int32), key, int(max_new),
         jnp.float32(temperature), bool(greedy),
         eos_id is not None, jnp.int32(eos_id if eos_id is not None else 0),
+        top_k=int(top_k), use_top_p=top_p is not None,
+        top_p=jnp.float32(1.0 if top_p is None else top_p),
+        use_min_p=min_p is not None,
+        min_p=jnp.float32(0.0 if min_p is None else min_p),
     ))

@@ -189,9 +189,10 @@ def _fwd(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret,
     bq, bkv = bs.block_q, bs.block_kv
     nq = n // bq
     slots = kv_ids.shape[1]
-    # online keeps 3 per-tile scratches (m, l, acc); cap hb*group*bq at 4096
-    # rows so they stay ~6MB of VMEM
-    hb = _eff_head_block(hkv, bs.head_block, max(1, 4096 // (group * bq)))
+    # online keeps 3 per-tile scratches (m, l, acc); 16384-row cap keeps
+    # them ~24MB of VMEM (the chip has ~128MB; 16MB is only XLA's default
+    # scoped limit, raised via vmem_limit_bytes below)
+    hb = _eff_head_block(hkv, bs.head_block, max(1, 16384 // (group * bq)))
     grid = (hkv // hb, nq, slots)
     if offs is None:
         offs = jnp.zeros((2,), jnp.int32)
@@ -233,6 +234,7 @@ def _fwd(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 << 20,
         ),
         interpret=_interpret_mode(interpret),
         name="tree_attention_fwd",
@@ -370,8 +372,8 @@ def _fwd_bound(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret,
     bq, bkv = bs.block_q, bs.block_kv
     nq = n // bq
     slots = kv_ids.shape[1]
-    # acc scratch rows = hb*group*bq; cap at 4096 (~2MB fp32 at dh=128)
-    hb = _eff_head_block(hkv, bs.head_block, max(1, 4096 // (group * bq)))
+    # acc scratch rows = hb*group*bq; 16384-row cap = ~8MB fp32 at dh=128
+    hb = _eff_head_block(hkv, bs.head_block, max(1, 16384 // (group * bq)))
     grid = (hkv // hb, nq, slots)
     if offs is None:
         offs = jnp.zeros((2,), jnp.int32)
@@ -415,6 +417,7 @@ def _fwd_bound(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, interpret,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 << 20,
         ),
         interpret=_interpret_mode(interpret),
         name="tree_attention_fwd_bound",
@@ -518,7 +521,7 @@ def _bwd_dq(q4, k, v, ld2, kv_ids, kv_counts, kv_types, do, lse, di, scale, bs,
     bq, bkv = bs.block_q, bs.block_kv
     nq = n // bq
     slots = kv_ids.shape[1]
-    hb = _eff_head_block(hkv, bs.head_block, max(1, 4096 // (group * bq)))
+    hb = _eff_head_block(hkv, bs.head_block, max(1, 16384 // (group * bq)))
     if offs is None:
         offs = jnp.zeros((2,), jnp.int32)
 
@@ -551,6 +554,7 @@ def _bwd_dq(q4, k, v, ld2, kv_ids, kv_counts, kv_types, do, lse, di, scale, bs,
         out_shape=[jax.ShapeDtypeStruct(q4.shape, q4.dtype)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 << 20,
         ),
         interpret=_interpret_mode(interpret),
         name="tree_attention_bwd_dq",
@@ -658,7 +662,7 @@ def _bwd_dkv(q4, k, v, ld2, q_ids, q_counts, q_types, do, lse, di, scale, bs,
     bq, bkv = bs.block_q, bs.block_kv
     nk = nkv // bkv
     slots = q_ids.shape[1]
-    hb = _eff_head_block(hkv, bs.head_block, max(1, 4096 // (group * bq)))
+    hb = _eff_head_block(hkv, bs.head_block, max(1, 16384 // (group * bq)))
     if offs is None:
         offs = jnp.zeros((2,), jnp.int32)
 
@@ -697,6 +701,7 @@ def _bwd_dkv(q4, k, v, ld2, q_ids, q_counts, q_types, do, lse, di, scale, bs,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 << 20,
         ),
         interpret=_interpret_mode(interpret),
         name="tree_attention_bwd_dkv",
@@ -1012,11 +1017,365 @@ def _bwd_fused(q4, k, v, ld2, kv_ids, kv_counts, kv_types, do, lse, di, scale,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 << 20,
         ),
         interpret=_interpret_mode(interpret),
         name="tree_attention_bwd_fused",
     )(offs.astype(jnp.int32), kv_ids, kv_counts, kv_types, aux,
       q4, k, v, ld2, do, lse, di)
+    return dq, dkf.astype(k.dtype), dvf.astype(v.dtype)
+
+
+# -------------------------------------------------------- cached fused bwd
+
+
+def _dqdkv_cached_kernel(
+    offs_ref,
+    ids_ref,
+    counts_ref,
+    types_ref,
+    sched_ref,
+    flush_ref,
+    q_ref,
+    k_ref,
+    v_ref,
+    ld_ref,
+    do_ref,
+    lse_ref,
+    di_ref,
+    dq_ref,
+    dk_hbm,
+    dv_hbm,
+    dq_scr,
+    cache_scr,
+    rsem,
+    wsem,
+    *,
+    scale: float,
+    block_q: int,
+    block_kv: int,
+    group: int,
+    nq: int,
+    slots: int,
+    n_slots: int,
+):
+    """Fused dq+dk+dv with a VMEM-resident kv-block accumulator cache.
+
+    Same math as ``_dqdkv_kernel`` (one score/exp/dp chain per active pair,
+    dq in VMEM scratch), but dk/dv accumulate in an R-slot VMEM cache driven
+    by a host-precomputed Belady schedule (tries/flatten.py
+    ``build_bwd_cache_sched``) instead of a per-visit HBM read-modify-write.
+    HBM is touched only on slot evictions, reloads of previously-evicted
+    blocks, and the final flush — ~9-11% of the RMW traffic at the bench
+    shapes — which also removes the ±15% sensitivity to XLA's VMEM pinning
+    of the dk/dv buffers (docs/PERF.md).
+
+    Removing the per-visit RMW also unblocks HEAD-BLOCKING (the RMW unit
+    objection that kept ``_dqdkv_kernel`` per-head is gone): with ``hb`` kv
+    heads per grid step, one mask build is shared across hb*group q-tiles
+    and the grid shrinks hb-fold. The cache slot unit becomes
+    [hb, 2, bkv, dh]; VMEM affords it — the chip has ~128 MB (the 16 MB
+    figure elsewhere is only XLA's default scoped limit), and the launcher
+    budgets (hb, R) in ``cached_bwd_geometry``.
+
+    DMA discipline: at most one eviction write and one reload read are in
+    flight, both started before the pair's matmuls and waited after (evict
+    must drain before the reload into the same slot starts, so that rare
+    combination serializes).
+    """
+    h = pl.program_id(0)
+    i = pl.program_id(1)
+    s = pl.program_id(2)
+    count = counts_ref[i]
+    typ = types_ref[i, s]
+    hb = k_ref.shape[0]
+
+    @pl.when(s == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    @pl.when(typ > 0)
+    def _compute():
+        kv_id = ids_ref[i, s]
+        slot = sched_ref[i, s, 0]
+        fresh = sched_ref[i, s, 1]
+        load = sched_ref[i, s, 2]
+        evict_id = sched_ref[i, s, 3]
+
+        @pl.when(evict_id >= 0)
+        def _start_evict():
+            off = jnp.maximum(evict_id, 0) * block_kv
+            for hi in range(hb):
+                pltpu.make_async_copy(
+                    cache_scr.at[slot, hi, 0],
+                    dk_hbm.at[h * hb + hi, pl.ds(off, block_kv), :],
+                    wsem.at[hi, 0],
+                ).start()
+                pltpu.make_async_copy(
+                    cache_scr.at[slot, hi, 1],
+                    dv_hbm.at[h * hb + hi, pl.ds(off, block_kv), :],
+                    wsem.at[hi, 1],
+                ).start()
+
+        def _start_reads():
+            off = kv_id * block_kv
+            for hi in range(hb):
+                pltpu.make_async_copy(
+                    dk_hbm.at[h * hb + hi, pl.ds(off, block_kv), :],
+                    cache_scr.at[slot, hi, 0],
+                    rsem.at[hi, 0],
+                ).start()
+                pltpu.make_async_copy(
+                    dv_hbm.at[h * hb + hi, pl.ds(off, block_kv), :],
+                    cache_scr.at[slot, hi, 1],
+                    rsem.at[hi, 1],
+                ).start()
+
+        @pl.when((load == 1) & (evict_id < 0))
+        def _start_load_early():
+            _start_reads()
+
+        # k-major orientation: rows = kv positions, lanes = q positions.
+        # One mask build shared across hb kv heads x group q heads.
+        k_pos = offs_ref[1] + kv_id * block_kv + jax.lax.broadcasted_iota(
+            jnp.int32, (block_kv, block_q), 0
+        )
+        q_pos = offs_ref[0] + i * block_q + jax.lax.broadcasted_iota(
+            jnp.int32, (block_kv, block_q), 1
+        )
+        ld_col = jnp.expand_dims(ld_ref[0], -1)
+        mask = (k_pos <= q_pos) & (q_pos <= ld_col)
+        mask = mask | (typ == 2)
+        bias = jnp.where(mask, 0.0, MASK_VALUE)
+
+        accs = []
+        for hi in range(hb):
+            k = k_ref[hi]
+            v = v_ref[hi]
+            for gi in range(group):
+                t = hi * group + gi
+                sl = slice(t * block_q, (t + 1) * block_q)
+                q = q_ref[hi, gi]  # [bq, dh]
+                do = do_ref[hi, gi]
+                lse_row = lse_ref[hi, gi : gi + 1, :]  # [1, bq]
+                di_row = di_ref[hi, gi : gi + 1, :]
+                st = (
+                    jax.lax.dot_general(
+                        k,
+                        q,
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    * scale
+                    + bias
+                )  # [bkv, bq]
+                p = jnp.exp(st - lse_row)
+                dv_p = jax.lax.dot_general(
+                    p.astype(do.dtype),
+                    do,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [bkv, dh]
+                dp = jax.lax.dot_general(
+                    v, do, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                ds = (dp - di_row) * p * scale
+                dk_p = jax.lax.dot_general(
+                    ds.astype(q.dtype),
+                    q,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [bkv, dh]
+                dq_scr[sl] += jax.lax.dot_general(
+                    ds.astype(k.dtype),
+                    k,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # [bq, dh]
+                if gi == 0:
+                    dk_acc, dv_acc = dk_p, dv_p
+                else:
+                    dk_acc, dv_acc = dk_acc + dk_p, dv_acc + dv_p
+            accs.append((dk_acc, dv_acc))
+
+        @pl.when(evict_id >= 0)
+        def _wait_evict():
+            off = jnp.maximum(evict_id, 0) * block_kv
+            for hi in range(hb):
+                pltpu.make_async_copy(
+                    cache_scr.at[slot, hi, 0],
+                    dk_hbm.at[h * hb + hi, pl.ds(off, block_kv), :],
+                    wsem.at[hi, 0],
+                ).wait()
+                pltpu.make_async_copy(
+                    cache_scr.at[slot, hi, 1],
+                    dv_hbm.at[h * hb + hi, pl.ds(off, block_kv), :],
+                    wsem.at[hi, 1],
+                ).wait()
+
+        @pl.when((load == 1) & (evict_id >= 0))
+        def _start_load_late():
+            _start_reads()
+
+        @pl.when(load == 1)
+        def _wait_load():
+            off = kv_id * block_kv
+            for hi in range(hb):
+                pltpu.make_async_copy(
+                    dk_hbm.at[h * hb + hi, pl.ds(off, block_kv), :],
+                    cache_scr.at[slot, hi, 0],
+                    rsem.at[hi, 0],
+                ).wait()
+                pltpu.make_async_copy(
+                    dv_hbm.at[h * hb + hi, pl.ds(off, block_kv), :],
+                    cache_scr.at[slot, hi, 1],
+                    rsem.at[hi, 1],
+                ).wait()
+
+        revisit = fresh == 0
+        for hi in range(hb):
+            dk_acc, dv_acc = accs[hi]
+            cache_scr[slot, hi, 0] = (
+                jnp.where(revisit, cache_scr[slot, hi, 0], 0.0) + dk_acc
+            )
+            cache_scr[slot, hi, 1] = (
+                jnp.where(revisit, cache_scr[slot, hi, 1], 0.0) + dv_acc
+            )
+
+    @pl.when(s == count - 1)
+    def _emit():
+        for hi in range(hb):
+            for gi in range(group):
+                t = hi * group + gi
+                sl = slice(t * block_q, (t + 1) * block_q)
+                dq_ref[hi, gi] = dq_scr[sl].astype(dq_ref.dtype)
+
+    @pl.when((i == nq - 1) & (s == slots - 1))
+    def _flush():
+        for r in range(n_slots):
+
+            @pl.when(flush_ref[r, 1] == 1)
+            def _(r=r):
+                blk = flush_ref[r, 0]
+                copies = []
+                for hi in range(hb):
+                    copies.append(pltpu.make_async_copy(
+                        cache_scr.at[r, hi, 0],
+                        dk_hbm.at[h * hb + hi, pl.ds(blk * block_kv, block_kv), :],
+                        wsem.at[hi, 0],
+                    ))
+                    copies.append(pltpu.make_async_copy(
+                        cache_scr.at[r, hi, 1],
+                        dv_hbm.at[h * hb + hi, pl.ds(blk * block_kv, block_kv), :],
+                        wsem.at[hi, 1],
+                    ))
+                for c in copies:
+                    c.start()
+                for c in copies:
+                    c.wait()
+
+
+# total kernel VMEM budget for the cached backward (the chip has ~128 MB;
+# leave headroom for XLA's own scoped allocations in the surrounding program)
+_CACHED_VMEM_BUDGET = 96 << 20
+
+
+def cached_bwd_geometry(hkv: int, group: int, bq: int, bkv: int, dh: int,
+                        n_kv_blocks: int, head_block: int) -> tuple[int, int]:
+    """(hb, n_slots) for the cached fused backward — the single source of
+    truth shared by the engine's prepare() (which sizes the Belady schedule)
+    and the kernel launcher (which sizes the VMEM scratch).
+
+    Picks the largest head block hb ≤ head_block that divides hkv, then the
+    largest slot count R ≤ n_kv_blocks that fits the VMEM budget after the
+    pipeline's double-buffered operands and the dq scratch; if R would drop
+    below the point where the cache stops being useful (min(n_kv_blocks, 8)
+    — below the typical ancestor-row working set Belady starts thrashing),
+    hb is halved and R recomputed. Operand sizes are budgeted at 4 bytes
+    (fp32 worst case) so the geometry — and therefore the schedule the
+    engine builds at prepare() time — never depends on the activation
+    dtype."""
+    hb = _eff_head_block(hkv, head_block, hkv)
+    while True:
+        tile = hb * group * bq * dh
+        operands = 2 * (2 * tile + 2 * hb * bkv * dh) * 4  # q,do,k,v buffers
+        operands += 2 * tile * 4  # dq out block
+        operands += 4 * 2 * hb * group * bq * 4  # lse/di double-buffered
+        dq_scr = tile * 4
+        per_slot = hb * 2 * bkv * dh * 4
+        r = (_CACHED_VMEM_BUDGET - operands - dq_scr) // per_slot
+        r = min(int(n_kv_blocks), int(r))
+        if r >= min(int(n_kv_blocks), 8) or hb == 1:
+            return hb, max(1, r)
+        hb = _eff_head_block(hkv, hb // 2, hkv)
+
+
+def _bwd_cached(q4, k, v, ld2, kv_ids, kv_counts, kv_types, actions, flush,
+                do, lse, di, scale, bs, interpret, offs=None):
+    hkv, group, n, dh = q4.shape
+    nkv = k.shape[1]
+    bq, bkv = bs.block_q, bs.block_kv
+    nq = n // bq
+    slots = kv_ids.shape[1]
+    n_slots = flush.shape[0]
+    # hb from the shared geometry; the slot count comes from the schedule
+    # itself (the schedule is head-independent, so any R is executable —
+    # engine.prepare sizes it via cached_bwd_geometry, tests may force a
+    # tiny cache to exercise evictions)
+    hb, _ = cached_bwd_geometry(
+        hkv, group, bq, bkv, dh, nkv // bkv, bs.head_block
+    )
+    if offs is None:
+        offs = jnp.zeros((2,), jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(hkv // hb, nq, slots),
+        in_specs=[
+            pl.BlockSpec((hb, group, bq, dh), lambda h, i, s, *_: (h, 0, i, 0)),
+            pl.BlockSpec((hb, bkv, dh), lambda h, i, s, off, ids, *_: (h, ids[i, s], 0)),
+            pl.BlockSpec((hb, bkv, dh), lambda h, i, s, off, ids, *_: (h, ids[i, s], 0)),
+            pl.BlockSpec(
+                (1, bkv),
+                lambda h, i, s, off, ids, *_: (0, off[1] // bkv + ids[i, s]),
+            ),
+            pl.BlockSpec((hb, group, bq, dh), lambda h, i, s, *_: (h, 0, i, 0)),
+            pl.BlockSpec((hb, group, bq), lambda h, i, s, *_: (h, 0, i)),
+            pl.BlockSpec((hb, group, bq), lambda h, i, s, *_: (h, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((hb, group, bq, dh), lambda h, i, s, *_: (h, 0, i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hb * group * bq, dh), jnp.float32),
+            pltpu.VMEM((n_slots, hb, 2, bkv, dh), jnp.float32),
+            pltpu.SemaphoreType.DMA((hb, 2)),
+            pltpu.SemaphoreType.DMA((hb, 2)),
+        ],
+    )
+    kernel = functools.partial(
+        _dqdkv_cached_kernel, scale=scale, block_q=bq, block_kv=bkv,
+        group=group, nq=nq, slots=slots, n_slots=n_slots,
+    )
+    dq, dkf, dvf = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(q4.shape, q4.dtype),
+            jax.ShapeDtypeStruct(k.shape, jnp.float32),
+            jax.ShapeDtypeStruct(v.shape, jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 << 20,
+        ),
+        interpret=_interpret_mode(interpret),
+        name="tree_attention_bwd_cached",
+    )(offs.astype(jnp.int32), kv_ids, kv_counts, kv_types,
+      actions, flush, q4, k, v, ld2, do, lse, di)
     return dq, dkf.astype(k.dtype), dvf.astype(v.dtype)
 
 
@@ -1060,7 +1419,7 @@ def _fwd_dispatch(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale,
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12, 13, 14))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14, 15, 16))
 def _tree_attention(
     q4,
     k,
@@ -1072,6 +1431,8 @@ def _tree_attention(
     q_ids,
     q_counts,
     q_types,
+    cache_actions,
+    cache_flush,
     scale,
     block_sizes,
     interpret,
@@ -1087,6 +1448,7 @@ def _tree_attention(
 
 def _tree_attention_fwd(
     q4, k, v, ld2, kv_ids, kv_counts, kv_types, q_ids, q_counts, q_types,
+    cache_actions, cache_flush,
     scale, block_sizes, interpret, softmax_mode, bwd_mode,
 ):
     o, lse = _fwd_dispatch(
@@ -1101,20 +1463,29 @@ def _tree_attention_fwd(
 
     o = checkpoint_name(o, "tree_attn_o")
     lse = checkpoint_name(lse, "tree_attn_lse")
-    res = (q4, k, v, ld2, kv_ids, kv_counts, kv_types, q_ids, q_counts, q_types, o, lse)
+    res = (q4, k, v, ld2, kv_ids, kv_counts, kv_types, q_ids, q_counts, q_types,
+           cache_actions, cache_flush, o, lse)
     return o, res
 
 
 def _tree_attention_bwd(scale, block_sizes, interpret, softmax_mode, bwd_mode,
                         res, do):
-    (q4, k, v, ld2, kv_ids, kv_counts, kv_types, q_ids, q_counts, q_types, o, lse) = res
+    (q4, k, v, ld2, kv_ids, kv_counts, kv_types, q_ids, q_counts, q_types,
+     cache_actions, cache_flush, o, lse) = res
     di = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1)  # [hkv,g,n]
+    nones = (None,) * 9
+    if bwd_mode == "cached":
+        dq, dk, dv = _bwd_cached(
+            q4, k, v, ld2, kv_ids, kv_counts, kv_types, cache_actions,
+            cache_flush, do, lse, di, scale, block_sizes, interpret,
+        )
+        return (dq, dk, dv) + nones
     if bwd_mode == "fused":
         dq, dk, dv = _bwd_fused(
             q4, k, v, ld2, kv_ids, kv_counts, kv_types, do, lse, di, scale,
             block_sizes, interpret,
         )
-        return (dq, dk, dv, None, None, None, None, None, None, None)
+        return (dq, dk, dv) + nones
     if bwd_mode != "split":
         raise ValueError(f"unknown bwd_mode {bwd_mode!r}")
     dq = _bwd_dq(
@@ -1125,7 +1496,7 @@ def _tree_attention_bwd(scale, block_sizes, interpret, softmax_mode, bwd_mode,
         q4, k, v, ld2, q_ids, q_counts, q_types, do, lse, di, scale, block_sizes,
         interpret,
     )
-    return (dq, dk, dv, None, None, None, None, None, None, None)
+    return (dq, dk, dv) + nones
 
 
 _tree_attention.defvjp(_tree_attention_fwd, _tree_attention_bwd)
@@ -1151,6 +1522,7 @@ def tree_attention(
     interpret: bool = False,
     softmax_mode: str = "online",
     bwd_mode: str = "split",
+    cache_sched=None,
 ) -> jnp.ndarray:
     """Tree-masked flash attention over a packed DFS trie layout.
 
@@ -1164,6 +1536,13 @@ def tree_attention(
       accumulates in VMEM scratch (resident per q block, like the split dq
       kernel); dk/dv accumulate in fp32 HBM via explicit double-buffered
       read-modify-write DMAs; see ``_dqdkv_kernel``.
+    * ``"cached"`` — the fused kernel with its dk/dv accumulators resident
+      in an R-slot VMEM cache driven by a host-precomputed Belady schedule
+      (``cache_sched``, required: a tries.BwdCacheSched or an
+      ``(actions, flush)`` array pair from
+      tries.flatten.build_bwd_cache_sched). HBM dk/dv traffic drops to
+      evictions + final flush (~9-11% of "fused" at the bench shapes);
+      see ``_dqdkv_cached_kernel``.
 
     softmax_mode:
 
@@ -1195,6 +1574,21 @@ def tree_attention(
     group = hq // hkv
     if scale is None:
         scale = dh**-0.5
+    if bwd_mode == "cached":
+        if cache_sched is None:
+            raise ValueError('bwd_mode="cached" needs cache_sched '
+                             "(tries.flatten.build_bwd_cache_sched)")
+        acts, flush = (
+            (cache_sched.actions, cache_sched.flush)
+            if hasattr(cache_sched, "actions")
+            else cache_sched
+        )
+        cache_actions = jnp.asarray(acts, jnp.int32)
+        cache_flush = jnp.asarray(flush, jnp.int32)
+    else:
+        # uniform custom_vjp signature; unused by split/fused backward
+        cache_actions = jnp.zeros((1, 1, 4), jnp.int32)
+        cache_flush = jnp.zeros((1, 2), jnp.int32)
     q4 = q.reshape(hkv, group, n, dh)
     ld2 = last_desc.reshape(1, n).astype(jnp.int32)
     o = _tree_attention(
@@ -1208,6 +1602,8 @@ def tree_attention(
         q_ids.astype(jnp.int32),
         q_counts.astype(jnp.int32),
         q_types.astype(jnp.int32),
+        cache_actions,
+        cache_flush,
         float(scale),
         block_sizes,
         bool(interpret),

@@ -246,7 +246,8 @@ class Trainer:
 
     def rollout(self, prompts, prompt_lens, group: int, max_new: int,
                 key=None, temperature: float = 1.0, greedy: bool = False,
-                eos_id: int | None = None):
+                eos_id: int | None = None, top_k: int = 0,
+                top_p: float | None = None, min_p: float | None = None):
         """Sample `group` completions per prompt with the CURRENT policy.
 
         The rollout side of the RL loop at trainer scale: params may be
@@ -271,6 +272,7 @@ class Trainer:
         return generate_grouped(
             params, self.mc, prompts, prompt_lens, group, max_new,
             key=key, temperature=temperature, greedy=greedy, eos_id=eos_id,
+            top_k=top_k, top_p=top_p, min_p=min_p,
         )
 
     def forward_logprobs(self, seqs, attachs) -> list:

@@ -15,8 +15,10 @@ from dynamictreeattn_tpu.tries.stats import trie_stats
 from dynamictreeattn_tpu.tries.flatten import (
     PackedTrie,
     BlockMeta,
+    BwdCacheSched,
     flatten_trie,
     build_block_meta,
+    build_bwd_cache_sched,
     pack_forest,
     RingBlockMeta,
     build_ring_block_meta,
@@ -29,8 +31,10 @@ __all__ = [
     "lcp_arrays",
     "PackedTrie",
     "BlockMeta",
+    "BwdCacheSched",
     "flatten_trie",
     "build_block_meta",
+    "build_bwd_cache_sched",
     "RingBlockMeta",
     "build_ring_block_meta",
     "pack_forest",

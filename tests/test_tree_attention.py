@@ -266,6 +266,61 @@ def test_rmw_visit_marks_oracle(seed):
     assert len(seen) == nk
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("n_slots", [1, 2, 3, 8])
+def test_bwd_cache_sched_oracle(seed, n_slots):
+    """build_bwd_cache_sched replayed like the cached kernel would —
+    per-block scalar accumulators through slots/evictions/reloads/flush —
+    must reproduce direct per-visit accumulation exactly, for any slot
+    count (R=1 forces eviction on every block change)."""
+    from dynamictreeattn_tpu.tries import build_bwd_cache_sched
+
+    rng = np.random.default_rng(seed)
+    block, n = 32, 256
+    _, _, packed, meta = random_packed(rng, n, block, n_seqs=10, max_len=40)
+    nk = n // block
+    sched = build_bwd_cache_sched(meta, n_slots)
+    R = sched.n_slots
+    assert R == max(1, n_slots)
+
+    hbm = np.full(nk, np.nan)  # uninitialized output, like device HBM
+    cache = np.full(R, np.nan)
+    cache_block = np.full(R, -1)
+    want = np.zeros(nk)
+    for i in range(meta.kv_ids.shape[0]):
+        for s in range(meta.kv_ids.shape[1]):
+            if meta.kv_types[i, s] <= 0:
+                # padding slots must carry no actions
+                assert tuple(sched.actions[i, s]) == (0, 0, 0, -1)
+                continue
+            b = int(meta.kv_ids[i, s])
+            contrib = rng.standard_normal()
+            want[b] += contrib
+            slot, fresh, load, evict_id = (int(x) for x in sched.actions[i, s])
+            assert 0 <= slot < R
+            if evict_id >= 0:
+                assert cache_block[slot] == evict_id, "evicting wrong block"
+                hbm[evict_id] = cache[slot]
+                cache_block[slot] = -1
+            if fresh:
+                cache[slot] = contrib
+            elif load:
+                cache[slot] = hbm[b] + contrib
+            else:
+                assert cache_block[slot] == b or cache_block[slot] == -1
+                if cache_block[slot] == b:
+                    cache[slot] += contrib
+                else:  # slot was just freed for us without explicit evict
+                    raise AssertionError("revisit without load/fresh on empty slot")
+            cache_block[slot] = b
+    fl_valid = sched.flush[:, 1] == 1
+    for r in np.nonzero(fl_valid)[0]:
+        assert cache_block[r] == sched.flush[r, 0]
+        hbm[sched.flush[r, 0]] = cache[r]
+    assert not np.isnan(hbm).any(), "some kv block never written"
+    np.testing.assert_allclose(hbm, want, rtol=1e-12)
+
+
 @pytest.mark.parametrize("mode", ["online", "bound"])
 def test_pallas_interpret_head_blocked(mode):
     """hkv=4 with BlockSizes(head_block=2): the grid head axis has size 2,
@@ -340,6 +395,50 @@ def test_pallas_interpret_fused_bwd_matches_split():
         gs = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, "split")
         gf = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, "fused")
     for a, b in zip(gs, gf):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+        )
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_INTERPRET"),
+    reason="Pallas interpret-mode compile is minutes-slow; opt in with "
+    "RUN_INTERPRET=1. Real-kernel parity runs on TPU via "
+    "scripts/tpu_kernel_parity.py.",
+)
+def test_pallas_interpret_cached_bwd_matches_split():
+    """Cached fused kernel (VMEM slot cache + Belady schedule) == split
+    kernels in the TPU-semantics interpreter, at a slot count small enough
+    to force evictions and reloads."""
+    from dynamictreeattn_tpu.tries import build_bwd_cache_sched
+
+    rng = np.random.default_rng(0)
+    block, n, dh = 32, 128, 32
+    hq, hkv = 4, 2
+    _, _, packed, meta = random_packed(rng, n, block, n_seqs=8, max_len=30)
+    sched = build_bwd_cache_sched(meta, 2)
+    assert (sched.actions[:, :, 3] >= 0).sum() > 0, "want evictions"
+    assert (sched.actions[:, :, 2] == 1).sum() > 0, "want reloads"
+    q = jax.random.normal(jax.random.key(0), (hq, n, dh), dtype=jnp.float32)
+    k = jax.random.normal(jax.random.key(1), (hkv, n, dh), dtype=jnp.float32)
+    v = jax.random.normal(jax.random.key(2), (hkv, n, dh), dtype=jnp.float32)
+    w = jax.random.normal(jax.random.key(3), (hq, n, dh), dtype=jnp.float32)
+    ld = jnp.asarray(packed.last_desc)
+
+    def loss(q, k, v, mode, cs=None):
+        o = tree_attention(
+            q, k, v, ld, *_meta_args(meta),
+            block_sizes=BlockSizes(block, block), interpret=True,
+            bwd_mode=mode, cache_sched=cs,
+        )
+        return jnp.sum(o * w)
+
+    with jax.default_matmul_precision("highest"):
+        gs = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, "split")
+        gc = jax.grad(loss, argnums=(0, 1, 2))(
+            q, k, v, "cached", (sched.actions, sched.flush)
+        )
+    for a, b in zip(gs, gc):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
         )
