@@ -138,6 +138,45 @@ def main():
             "sharing": round(share, 3),
         })
 
+    # ---- production-path line: the full Trainer (ladder buckets + live
+    # TM-balanced packing + adamw update, donated) over a stream of varying
+    # 2-group batches — what a real RL loop runs, vs the exact-bucket
+    # engine-only headline above (the gap is padding + optimizer;
+    # docs/PERF.md "production path"). Skipped when DTA_BENCH_PROMPTS pins a
+    # custom single workload.
+    if not forced and os.environ.get("DTA_BENCH_LADDER", "1") != "0":
+        import dataclasses as _dc
+
+        from dynamictreeattn_tpu.training import TrainConfig, Trainer
+
+        tr = Trainer(
+            mc, _dc.replace(ec_tree, bucketing="ladder"),
+            TrainConfig(dp=1, tp=1),
+        )
+        tr.init(seed=0)
+        stream = [
+            synthetic_rollout_batch(
+                seed=100 + i, n_prompts=2, samples_per_prompt=16,
+                prompt_len=(1024, 2048), completion_len=(128, 512),
+                branch_prob=0.85,
+            )
+            for i in range(4)
+        ]
+        for s, a in stream:  # warm every ladder bucket + the trainer step
+            tr.train_step(s, a)
+        n_dense = sum(len(x) for s, _ in stream for x in s)
+        t0 = time.time()
+        for s, a in stream:
+            tr.train_step(s, a)
+        ladder_tps = n_dense / (time.time() - t0)
+        print(f"# trainer ladder stream: {n_dense} dense tokens, "
+              f"{ladder_tps:.0f} tok/s", file=sys.stderr)
+        workloads.append({
+            "groups": 2, "mode": "trainer_ladder",
+            "tokens_per_s": round(ladder_tps, 1),
+            "dense_tokens": n_dense,
+        })
+
     head = workloads[0]
     print(json.dumps({
         "metric": f"{os.environ.get('DTA_BENCH_MODEL', 'qwen3-0.6b')}"

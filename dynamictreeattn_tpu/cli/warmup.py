@@ -116,6 +116,19 @@ def main(argv=None):
                 sd((nq, kv_w), i32), sd((nq,), i32), sd((nq, kv_w), i32),
                 sd((nk, q_w), i32), sd((nk,), i32), sd((nk, q_w), i32),
             )
+            if ec.attn_backend == "pallas" and engine._bwd_mode() == "cached":
+                # prepare() appends the Belady cache schedule; mirror its
+                # slot count so the compile-cache key matches at runtime
+                from dynamictreeattn_tpu.ops.tree_attention import (
+                    BlockSizes, cached_bwd_geometry,
+                )
+
+                hkv = mc.num_key_value_heads
+                _, r = cached_bwd_geometry(
+                    hkv, mc.num_attention_heads // hkv, ec.block_q,
+                    ec.block_kv, mc.head_dim, nk, BlockSizes().head_block,
+                )
+                meta = meta + (sd((nq, kv_w, 4), i32), sd((r, 2), i32))
             t0 = time.time()
             fn.lower(
                 pshapes,
@@ -165,7 +178,10 @@ def _warm_sharded(args, mc, ec, pshapes, buckets):
         from dynamictreeattn_tpu.parallel.train import init_opt_state
 
         opt_sh = jax.eval_shape(lambda p: init_opt_state(optimizer, p), psh)
-    bspec = batch_partition_specs(1, "ulysses")
+    from dynamictreeattn_tpu.parallel.train import _stack_wants_cache_sched
+
+    want_sched = _stack_wants_cache_sched(ec, 1)
+    bspec = batch_partition_specs(1, "ulysses", cache_sched=want_sched)
     i32, f32 = jnp.int32, jnp.float32
     total = 0.0
     for n_pad in buckets:
@@ -183,6 +199,9 @@ def _warm_sharded(args, mc, ec, pshapes, buckets):
                 "kv_types": (i32, (nq, kv_w)), "q_ids": (i32, (nk, q_w)),
                 "q_counts": (i32, (nk,)), "q_types": (i32, (nk, q_w)),
             }
+            if want_sched:  # mirror stack_batches' fixed slot-count rule
+                shapes["cache_actions"] = (i32, (nq, kv_w, 4))
+                shapes["cache_flush"] = (i32, (min(16, nk), 2))
             batch_sh = {
                 k: sd((args.dp,) + shp, dt,
                       sharding=NamedSharding(mesh, bspec[k]))

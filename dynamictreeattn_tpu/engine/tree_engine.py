@@ -54,9 +54,11 @@ class EngineConfig:
     remat_segments: int = 0  # >0: nested √L checkpointing with this many segments
     temperature: float = 1.0
     loss_chunk: int = 1024  # row-chunk size (loss_mode="rows" only)
-    # "vocab": vocab-chunked custom_vjp loss (per-column-block dW writes, no
-    # [d, V] backward carry — ops/losses.py); "rows": legacy row-chunked path
-    loss_mode: str = "vocab"
+    # "auto": fused Pallas LM-head stats kernels (ops/lm_stats.py — logits
+    # and backward dlogits tiles never leave VMEM) whenever the Pallas
+    # attention backend runs, else the vocab-chunked XLA path; "pallas" /
+    # "vocab" / "rows" force a specific implementation
+    loss_mode: str = "auto"
     attn_backend: str = "pallas"  # "pallas" | "reference"
     interpret: bool = False  # pallas interpret mode (CPU debugging)
     # fwd kernel softmax shift: "auto" = "bound" (Cauchy-Schwarz row bound,
@@ -76,10 +78,14 @@ class EngineConfig:
     # the Pallas attention backend runs (same hardware requirement);
     # "on"/"off" force it
     fused_qk: str = "auto"
-    # "ladder": geometric (≤25% waste) length buckets so jit shapes repeat
-    # across workloads (SURVEY.md §7.3 hard part 3); "exact": minimal padding
-    # (one compile per distinct length — benchmarking single fixed workloads)
+    # "ladder": geometric length buckets so jit shapes repeat across
+    # workloads (SURVEY.md §7.3 hard part 3); "exact": minimal padding (one
+    # compile per distinct length — benchmarking single fixed workloads)
     bucketing: str = "ladder"
+    # ladder growth factor: worst-case padded fraction is (growth-1)/growth.
+    # 1.12 ≈ ≤11% waste at ~2x the bucket count of the old 1.25 (compiles
+    # amortize via the persistent cache / warmup CLI)
+    bucket_growth: float = 1.12
 
     @property
     def pad_multiple(self) -> int:
@@ -93,10 +99,11 @@ class EngineConfig:
         exact = max(m, -(-n // m) * m)
         if self.bucketing == "exact":
             return exact
-        # geometric ladder of m-multiples with ~1.25x steps
+        # geometric ladder of m-multiples
+        g = self.bucket_growth
         b = m
         while b < exact:
-            b = max(-(-int(b * 1.25) // m) * m, b + m)
+            b = max(-(-int(b * g) // m) * m, b + m)
         return b
 
 
@@ -107,12 +114,28 @@ def _next_pow2(x: int) -> int:
 def resolve_kernel_modes(mc, cfg: EngineConfig) -> tuple[str, str]:
     """(softmax_mode, bwd_mode) for this model/config — the single "auto"
     rule, shared by TreeEngine and the sharded step builders
-    (parallel/train.py, parallel/pipeline.py)."""
+    (parallel/train.py, parallel/pipeline.py). "auto" backward resolves to
+    "cached" (the fused kernel + VMEM slot cache); call sites without a
+    host-built Belady schedule in reach (pipeline microbatches, hand-built
+    batches) downgrade to "fused" themselves."""
     fwd = cfg.fwd_softmax
     if fwd == "auto":
         fwd = "bound" if getattr(mc, "use_qk_norm", False) else "online"
-    bwd = "fused" if cfg.bwd_mode == "auto" else cfg.bwd_mode
+    bwd = "cached" if cfg.bwd_mode == "auto" else cfg.bwd_mode
     return fwd, bwd
+
+
+def resolve_loss_mode(cfg: EngineConfig) -> str:
+    """LM-head loss implementation for this config — shared by TreeEngine
+    and the sharded step builders: "auto" means the fused Pallas stats
+    kernels (ops/lm_stats.py) whenever the Pallas attention backend runs
+    (same hardware requirement; TPU-semantics interpreter under
+    cfg.interpret), else the vocab-chunked XLA custom_vjp."""
+    if cfg.loss_mode != "auto":
+        return cfg.loss_mode
+    if cfg.attn_backend == "pallas":
+        return "pallas_interpret" if cfg.interpret else "pallas"
+    return "vocab"
 
 
 @dataclasses.dataclass
@@ -175,7 +198,7 @@ class TreeEngine:
                 min_q_slots=_next_pow2(meta.q_ids.shape[1]),
             )
         extra = ()
-        if self._bwd_mode() == "cached":
+        if cfg.attn_backend == "pallas" and self._bwd_mode() == "cached":
             from dynamictreeattn_tpu.ops.tree_attention import cached_bwd_geometry
             from dynamictreeattn_tpu.tries import build_bwd_cache_sched
 
@@ -233,12 +256,10 @@ class TreeEngine:
         return resolve_kernel_modes(self.mc, self.cfg)[0]
 
     def _bwd_mode(self) -> str:
-        # "auto" upgrades to the cached fused backward on the engine path,
-        # where prepare() owns the host-side Belady schedule; the sharded
-        # step builders (resolve_kernel_modes) stay on "fused".
-        if self.cfg.bwd_mode == "auto" and self.cfg.attn_backend == "pallas":
-            return "cached"
         return resolve_kernel_modes(self.mc, self.cfg)[1]
+
+    def _loss_mode(self) -> str:
+        return resolve_loss_mode(self.cfg)
 
     def _fused_qk(self) -> bool:
         cfg = self.cfg
@@ -266,7 +287,7 @@ class TreeEngine:
         w_lm = lm_head_weight(params, self.mc)
         return logprob_entropy_from_hidden(
             hidden, w_lm, tokens, parent,
-            self.cfg.temperature, self.cfg.loss_chunk, self.cfg.loss_mode,
+            self.cfg.temperature, self.cfg.loss_chunk, self._loss_mode(),
         )
 
     def _loss(self, params, tokens, depth, parent, last_desc, w_lp, w_ent,
@@ -281,7 +302,7 @@ class TreeEngine:
         )
         lp_edge, entropy = logprob_entropy_from_hidden(
             hidden, lm_head_weight(params, self.mc), tokens, parent,
-            self.cfg.temperature, self.cfg.loss_chunk, self.cfg.loss_mode,
+            self.cfg.temperature, self.cfg.loss_chunk, self._loss_mode(),
         )
         sum_lp = jnp.sum(w_lp * lp_edge)
         sum_ent = jnp.sum(w_ent * entropy)

@@ -213,6 +213,44 @@ def _vc_bwd_rule(inv_temp: float, vc: int, res, cts):
 _position_stats_vc.defvjp(_vc_fwd_rule, _vc_bwd_rule)
 
 
+# --------------------------------------------------- Pallas fused-kernel path
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _position_stats_pallas(hidden, w_lm, inv_temp: float, interpret: bool):
+    lse, mx = _lm_stats_import().lm_stats(
+        hidden, w_lm, inv_temp, interpret=interpret
+    )
+    return lse, lse - mx
+
+
+def _lm_stats_import():
+    from dynamictreeattn_tpu.ops import lm_stats as _m
+
+    return _m
+
+
+def _pallas_fwd_rule(hidden, w_lm, inv_temp: float, interpret: bool):
+    lse, mx = _lm_stats_import().lm_stats(
+        hidden, w_lm, inv_temp, interpret=interpret
+    )
+    return (lse, lse - mx), (hidden, w_lm, lse, mx)
+
+
+def _pallas_bwd_rule(inv_temp: float, interpret: bool, res, cts):
+    hidden, w_lm, lse, mx = res
+    g_lse, g_ent = cts
+    dh, dwT = _lm_stats_import().lm_stats_bwd(
+        hidden, w_lm, lse, mx, g_lse, g_ent, inv_temp, interpret=interpret
+    )
+    # same contract as _vc_bwd_rule: [d, V] cotangent whose transpose is the
+    # contiguous [V, d] the tied embedding wants
+    return dh, dwT.astype(w_lm.dtype).T
+
+
+_position_stats_pallas.defvjp(_pallas_fwd_rule, _pallas_bwd_rule)
+
+
 def position_stats_from_hidden(
     hidden: jnp.ndarray,  # [n, d]
     w_lm: jnp.ndarray,  # [d, V]
@@ -223,12 +261,19 @@ def position_stats_from_hidden(
 ):
     """Per-position (logsumexp, entropy) without materializing [n, V] logits.
 
-    mode="vocab" (default): custom_vjp looping over VOCAB chunks — online
-    (m, Σe^x, Σe^x·x) merge forward; analytic backward writes each dW column
-    block exactly once (see _vc_bwd_rule). mode="rows": the legacy
+    mode="pallas" (engine default on TPU): fused Pallas kernels — logits
+    tiles and the backward's dlogits never leave VMEM (ops/lm_stats.py).
+    mode="pallas_interpret": same kernels in the TPU-semantics interpreter
+    (CPU tests). mode="vocab": XLA custom_vjp looping over VOCAB chunks —
+    online (m, Σe^x, Σe^x·x) merge forward; analytic backward writes each dW
+    column block exactly once (see _vc_bwd_rule). mode="rows": the legacy
     row-chunked `jax.checkpoint` + `lax.map` formulation."""
     if mode == "rows":
         return position_stats_rowchunked(hidden, w_lm, temperature, chunk_size)
+    if mode in ("pallas", "pallas_interpret"):
+        return _position_stats_pallas(
+            hidden, w_lm, 1.0 / temperature, mode == "pallas_interpret"
+        )
     V = w_lm.shape[1]
     vc = min(vocab_chunk_width or _vocab_chunk_width(V, hidden.shape[0]), V)
     return _position_stats_vc(hidden, w_lm, 1.0 / temperature, vc)

@@ -42,7 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from dynamictreeattn_tpu.engine.tree_engine import EngineConfig
+from dynamictreeattn_tpu.engine.tree_engine import EngineConfig, resolve_loss_mode
 from dynamictreeattn_tpu.models.qwen3 import Qwen3Config, rms_norm, rope_tables
 from dynamictreeattn_tpu.ops.tree_attention import BlockSizes, tree_attention
 from dynamictreeattn_tpu.ops.tree_attention_ref import tree_attention_reference
@@ -97,6 +97,8 @@ def stack_microbatches(
     flat = stack_batches([t for row in tries for t in row], cfg)
     arrays = {
         k: v.reshape(dp, M, *v.shape[1:]) for k, v in flat.arrays.items()
+        # the pipelined step runs the schedule-free fused backward
+        if k not in ("cache_actions", "cache_flush")
     }
     return StackedMicrobatch(arrays=arrays, packeds=flat.packeds, dp=dp, M=M)
 
@@ -159,6 +161,8 @@ def make_pp_train_step(
         from dynamictreeattn_tpu.engine.tree_engine import resolve_kernel_modes
 
         fwd_mode, bwd_mode = resolve_kernel_modes(mc, ec)
+        if bwd_mode == "cached":
+            bwd_mode = "fused"  # no per-microbatch Belady schedule plumbing
         return lambda q, k, v: tree_attention(
             q, k, v, ld, *meta, block_sizes=bs, interpret=ec.interpret,
             softmax_mode=fwd_mode, bwd_mode=bwd_mode,
@@ -229,6 +233,7 @@ def make_pp_train_step(
                 h, w_local, tok, mb_field("parent", mb),
                 mb_field("w_logprob", mb), mb_field("w_entropy", mb),
                 ec.temperature, ec.loss_chunk,
+                mode=resolve_loss_mode(ec),
             )
             l_seed = live * l
             if mc.is_moe and mc.router_aux_coef:
@@ -352,6 +357,7 @@ def make_pp_train_step(
                     h, w_local, tok, mb_field("parent", mb),
                     mb_field("w_logprob", mb), mb_field("w_entropy", mb),
                     ec.temperature, ec.loss_chunk,
+                    mode=resolve_loss_mode(ec),
                 )
                 live = ((mb >= 0) & (mb < M) & (stage == pp - 1)).astype(l.dtype)
                 # the router lb loss is per-STAGE (each stage's own MoE
@@ -424,11 +430,20 @@ def make_pp_train_step(
 
     import optax
 
-    @jax.jit
+    # donated + in-graph non-finite guard, matching train.py's opt_step
+    # (donation aliases the update in place; callers always rebind)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def opt_step(params, opt_state, batch):
         loss, grads, aux = step(params, batch)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates, new_state = optimizer.update(grads, opt_state, params)
+        good = jnp.isfinite(loss)
+        updates = jax.tree.map(
+            lambda u: jnp.where(good, u, jnp.zeros_like(u)), updates
+        )
+        new_state = jax.tree.map(
+            lambda nx, ox: jnp.where(good, nx, ox), new_state, opt_state
+        )
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, aux
+        return params, new_state, loss, aux
 
     return opt_step

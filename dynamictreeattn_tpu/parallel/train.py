@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from dynamictreeattn_tpu.engine.tree_engine import EngineConfig
+from dynamictreeattn_tpu.engine.tree_engine import EngineConfig, resolve_loss_mode
 from dynamictreeattn_tpu.models.qwen3 import Qwen3Config, init_params
 from dynamictreeattn_tpu.ops.tree_attention import BlockSizes, tree_attention
 from dynamictreeattn_tpu.ops.tree_attention_ref import tree_attention_reference
@@ -236,6 +236,16 @@ def _fsdp_gather_top(params, dims):
     return params
 
 
+def _stack_wants_cache_sched(cfg: EngineConfig, sp: int) -> bool:
+    from dynamictreeattn_tpu.engine.tree_engine import resolve_kernel_modes
+
+    return (
+        cfg.attn_backend == "pallas"
+        and sp == 1
+        and resolve_kernel_modes(None, cfg)[1] == "cached"
+    )
+
+
 def _unpack_rank_batch(batch, ec: EngineConfig, mc=None):
     """This rank's batch fields + the attention fn both step builders use."""
     from dynamictreeattn_tpu.engine.tree_engine import resolve_kernel_modes
@@ -248,9 +258,14 @@ def _unpack_rank_batch(batch, ec: EngineConfig, mc=None):
     else:
         bs = BlockSizes(ec.block_q, ec.block_kv)
         fwd_mode, bwd_mode = resolve_kernel_modes(mc, ec)
+        sched = None
+        if "cache_actions" in batch:
+            sched = (batch["cache_actions"][0], batch["cache_flush"][0])
+        elif bwd_mode == "cached":
+            bwd_mode = "fused"  # batch carries no schedule
         attn_fn = lambda q, k, v: tree_attention(
             q, k, v, last_desc, *meta, block_sizes=bs, interpret=ec.interpret,
-            softmax_mode=fwd_mode, bwd_mode=bwd_mode,
+            softmax_mode=fwd_mode, bwd_mode=bwd_mode, cache_sched=sched,
         )
     return fields, meta, attn_fn
 
@@ -258,6 +273,7 @@ def _unpack_rank_batch(batch, ec: EngineConfig, mc=None):
 def batch_partition_specs(
     sp: int = 1, sp_mode: str = "ulysses",
     extras_spec: dict | None = None,
+    cache_sched: bool = False,
 ) -> dict:
     """PartitionSpec per batch-array field (what make_train_step shards by —
     also the layout multi-host data loading must produce).
@@ -270,6 +286,10 @@ def batch_partition_specs(
     bspec["kv_counts"] = bspec["q_counts"] = P("data", None)
     for f in ("kv_ids", "kv_types", "q_ids", "q_types"):
         bspec[f] = P("data", None, None)
+    if cache_sched:
+        # Belady slot schedules for the cached fused backward
+        bspec["cache_actions"] = P("data", None, None, None)
+        bspec["cache_flush"] = P("data", None, None)
     if sp > 1:
         for f in ("edge_parent", "edge_token", "edge_w"):
             bspec[f] = P("data", "seq", None)
@@ -329,6 +349,18 @@ def stack_batches(
     arrays = {f: np.stack([getattr(p, f) for p in packeds]) for f in _BATCH_FIELDS}
     for f in _META_FIELDS:
         arrays[f] = np.stack([getattr(me, f) for me in metas]).astype(np.int32)
+    if _stack_wants_cache_sched(cfg, sp):
+        # Belady slot schedules for the cached fused backward
+        # (ops/tree_attention.py; sp>1 paths keep the schedule-free kernels).
+        # R is model-independent — the launcher sizes its scratch from the
+        # schedule itself; 16 slots ≈ 34 MB of VMEM at hb=4 and covers the
+        # per-row working set of tau2-16k-scale tries.
+        from dynamictreeattn_tpu.tries import build_bwd_cache_sched
+
+        r = min(16, metas[0].n_kv_blocks)
+        scheds = [build_bwd_cache_sched(me, r) for me in metas]
+        arrays["cache_actions"] = np.stack([s.actions for s in scheds])
+        arrays["cache_flush"] = np.stack([s.flush for s in scheds])
     if sp > 1:
         arrays.update(_edge_arrays(packeds, sp, n_pad))
     if sp > 1 and sp_mode == "ring":
@@ -548,6 +580,7 @@ def make_train_step(
     bspec = batch_partition_specs(
         sp, sp_mode,
         extras_spec=(extras_spec or {}) if custom_loss is not None else None,
+        cache_sched=_stack_wants_cache_sched(ec, sp),
     )
 
     def local_loss_and_grad(params, batch):
@@ -619,11 +652,12 @@ def make_train_step(
                         batch["ce_parent"][0, 0], batch["ce_token"][0, 0],
                         batch["ce_child"][0, 0], tokens.shape[0],
                         ec.temperature, ec.loss_chunk,
+                        mode=resolve_loss_mode(ec),
                     )
                 else:
                     lp_edge, entropy = vp_tree_edge_logprobs(
                         h, w_local, tokens, parent, ec.temperature,
-                        ec.loss_chunk,
+                        ec.loss_chunk, mode=resolve_loss_mode(ec),
                     )
                 paths = batch["seq_paths"][0]
                 lengths = batch["seq_lens"][0]
@@ -652,11 +686,13 @@ def make_train_step(
                 loss, aux = vp_tree_loss_edges(
                     h, w_local, e_par, e_tok, e_w, w_ent_loc,
                     ec.temperature, ec.loss_chunk,
+                    mode=resolve_loss_mode(ec),
                 )
             else:
                 loss, aux = vp_tree_loss_from_hidden(
                     h, w_local, tokens, parent, w_lp, w_ent,
                     ec.temperature, ec.loss_chunk,
+                    mode=resolve_loss_mode(ec),
                 )
             if mc.is_moe:
                 aux = dict(aux, lb_loss=faux["lb_loss"])
@@ -720,14 +756,28 @@ def make_train_step(
 
     import optax
 
-    @jax.jit
+    # params/opt_state are DONATED: the update aliases them in place instead
+    # of allocating a second copy of params + fp32 adamw moments every step
+    # (~6 GB of extra live buffers at 0.6B). Callers must rebind both to the
+    # returned values (the Trainer does; a donated input is unusable after).
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def opt_step(params, opt_state, batch):
         # Optimizer update under plain jit: GSPMD propagates the params/grads
         # NamedShardings into the update — no shard_map needed here.
         loss, grads, aux = step(params, batch)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
+        updates, new_state = optimizer.update(grads, opt_state, params)
+        # non-finite guard IN-GRAPH: donation consumes the old buffers, so
+        # "keep the previous params" must happen here, not in the caller
+        # (training robustness the Trainer's skip_nonfinite relies on)
+        good = jnp.isfinite(loss)
+        updates = jax.tree.map(
+            lambda u: jnp.where(good, u, jnp.zeros_like(u)), updates
+        )
+        new_state = jax.tree.map(
+            lambda nx, ox: jnp.where(good, nx, ox), new_state, opt_state
+        )
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, aux
+        return params, new_state, loss, aux
 
     return opt_step
 
@@ -771,7 +821,7 @@ def make_forward_step(
     else:
         dims = None
         pspecs = param_specs(mc, ep_size)
-    bspec = batch_partition_specs()
+    bspec = batch_partition_specs(cache_sched=_stack_wants_cache_sched(ec, 1))
 
     def local_forward(params, batch):
         fields, meta, attn_fn = _unpack_rank_batch(batch, ec, mc)
@@ -792,7 +842,7 @@ def make_forward_step(
         w_local = params["embed"].T if mc.tie_word_embeddings else params["lm_head"]
         lp, ent = vp_tree_edge_logprobs(
             h, w_local, fields["tokens"], fields["parent"],
-            ec.temperature, ec.loss_chunk,
+            ec.temperature, ec.loss_chunk, mode=resolve_loss_mode(ec),
         )
         return lp[None], ent[None]
 

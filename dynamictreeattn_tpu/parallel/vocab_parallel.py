@@ -48,8 +48,10 @@ def _vp_chunk_stats(h_chunk, w_local, inv_temp, axis):
     return lse, entropy
 
 
-def vp_position_stats(hidden, w_local, temperature, chunk_size, axis="model"):
-    """(lse [n], entropy [n]) with logits sharded on `axis`, chunked + remat."""
+def _vp_rows_stats(hidden, w_local, temperature, chunk_size, axis):
+    """Legacy row-chunked formulation (jax.checkpoint + lax.map): its
+    autodiff drags a fp32 [d, V/tp] dW accumulator through every chunk step
+    — kept as the cross-impl oracle (mode="rows")."""
     n, d = hidden.shape
     inv_temp = 1.0 / temperature
     c = chunk_size
@@ -61,6 +63,87 @@ def vp_position_stats(hidden, w_local, temperature, chunk_size, axis="model"):
     )
     lse, entropy = jax.lax.map(fn, chunks)
     return lse.reshape(n), entropy.reshape(n)
+
+
+def _vp_local_stats(hidden, w_local, inv_temp: float, impl: str):
+    """Local-shard (lse, mean_x) via the engine-path implementations."""
+    if impl in ("pallas", "pallas_interpret"):
+        from dynamictreeattn_tpu.ops.lm_stats import lm_stats
+
+        return lm_stats(
+            hidden, w_local, inv_temp, interpret=impl == "pallas_interpret"
+        )
+    from dynamictreeattn_tpu.ops.losses import _vc_forward, _vocab_chunk_width
+
+    vc = min(_vocab_chunk_width(w_local.shape[1], hidden.shape[0]),
+             w_local.shape[1])
+    lse, _, mean_x = _vc_forward(hidden, w_local, inv_temp, vc)
+    return lse, mean_x
+
+
+def _vp_merge(lse_l, mean_l, axis):
+    """Global (lse, mean_x) from per-shard values: any local (lse, mean_x)
+    pair is an exact online-softmax partial with stabilizer m := lse and
+    unit Σexp, so the cross-shard merge needs no raw (m, Σeˣ, Σeˣ·x)."""
+    m_g = const_pmax(lse_l, axis)
+    w8 = jnp.exp(lse_l - m_g)
+    se_g = mpar_out(w8, axis)
+    sx_g = mpar_out(mean_l * w8, axis)
+    return m_g + jnp.log(se_g), sx_g / se_g
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _vp_stats(hidden, w_local, inv_temp: float, axis: str, impl: str):
+    lse, mean_x = _vp_merge(*_vp_local_stats(hidden, w_local, inv_temp, impl),
+                            axis)
+    return lse, lse - mean_x
+
+
+def _vp_stats_fwd(hidden, w_local, inv_temp: float, axis: str, impl: str):
+    lse, mean_x = _vp_merge(*_vp_local_stats(hidden, w_local, inv_temp, impl),
+                            axis)
+    return (lse, lse - mean_x), (hidden, w_local, lse, mean_x)
+
+
+def _vp_stats_bwd(inv_temp: float, axis: str, impl: str, res, cts):
+    """Shard-local analytic backward from the GLOBAL (lse, mean_x): each
+    rank's dlogits block only needs its own W shard plus the global
+    statistics, so there is no backward communication at all — dhidden is
+    the rank-local contribution (the Megatron f operator upstream psums it,
+    collectives.py mpar_in), dW is exact per shard."""
+    hidden, w_local, lse, mean_x = res
+    g_lse, g_ent = cts
+    if impl in ("pallas", "pallas_interpret"):
+        from dynamictreeattn_tpu.ops.lm_stats import lm_stats_bwd
+
+        dh, dwT = lm_stats_bwd(
+            hidden, w_local, lse, mean_x, g_lse, g_ent, inv_temp,
+            interpret=impl == "pallas_interpret",
+        )
+        return dh, dwT.astype(w_local.dtype).T
+    from dynamictreeattn_tpu.ops.losses import _vc_bwd_rule, _vocab_chunk_width
+
+    vc = min(_vocab_chunk_width(w_local.shape[1], hidden.shape[0]),
+             w_local.shape[1])
+    return _vc_bwd_rule(inv_temp, vc, (hidden, w_local, lse, mean_x),
+                        (g_lse, g_ent))
+
+
+_vp_stats.defvjp(_vp_stats_fwd, _vp_stats_bwd)
+
+
+def vp_position_stats(hidden, w_local, temperature, chunk_size, axis="model",
+                      mode: str = "vocab"):
+    """(lse [n], entropy [n]) with logits sharded on `axis`.
+
+    mode="vocab" (default): the engine's vocab-chunked custom_vjp per shard
+    (ops/losses.py) + a 3-collective merge of (lse, mean_x) — no [d, V/tp]
+    backward carry, no backward communication. mode="pallas"/
+    "pallas_interpret": the fused Pallas stats kernels per shard
+    (ops/lm_stats.py). mode="rows": the legacy row-chunked formulation."""
+    if mode == "rows":
+        return _vp_rows_stats(hidden, w_local, temperature, chunk_size, axis)
+    return _vp_stats(hidden, w_local, 1.0 / temperature, axis, mode)
 
 
 def vp_label_logits(h_at_parent, tokens, w_local, temperature, axis="model"):
@@ -88,11 +171,14 @@ def vp_tree_edge_logprobs(
     temperature: float = 1.0,
     chunk_size: int = 1024,
     axis: str = "model",
+    mode: str = "vocab",
 ):
     """(lp_edge [n], entropy [n]) over a vocab-sharded LM head — the
     inference half of vp_tree_loss_from_hidden (RL behavior-logprob
     recompute, reference: tree_training_engine.py:516-553)."""
-    lse, entropy = vp_position_stats(hidden, w_local, temperature, chunk_size, axis)
+    lse, entropy = vp_position_stats(
+        hidden, w_local, temperature, chunk_size, axis, mode
+    )
     par = jnp.maximum(parent, 0)
     h_par = jnp.take(hidden, par, axis=0)
     label_logit = vp_label_logits(h_par, tokens, w_local, temperature, axis)
@@ -111,12 +197,13 @@ def vp_tree_loss_from_hidden(
     temperature: float = 1.0,
     chunk_size: int = 1024,
     axis: str = "model",
+    mode: str = "vocab",
 ):
     """Sharded-LM-head version of ops.losses.tree_loss_from_hidden.
 
     Returns (loss, aux); loss is identical on every `axis` rank."""
     lp_edge, entropy = vp_tree_edge_logprobs(
-        hidden, w_local, tokens, parent, temperature, chunk_size, axis
+        hidden, w_local, tokens, parent, temperature, chunk_size, axis, mode
     )
     sum_lp = jnp.sum(w_logprob * lp_edge)
     sum_ent = jnp.sum(w_entropy * entropy)
@@ -136,6 +223,7 @@ def vp_tree_edge_logprobs_sp(
     chunk_size: int = 1024,
     axis: str = "model",
     seq_axis: str = "seq",
+    mode: str = "vocab",
 ):
     """(lp_edge [n_global], entropy [n_global]) under sequence parallelism —
     the per-edge (non-reduced) companion of vp_tree_loss_edges for custom
@@ -146,7 +234,7 @@ def vp_tree_edge_logprobs_sp(
     Autodiff routes each edge's cotangent back to the owning rank through
     the psum/scatter transpose."""
     lse, ent_loc = vp_position_stats(
-        hidden_local, w_local, temperature, chunk_size, axis
+        hidden_local, w_local, temperature, chunk_size, axis, mode
     )
     h_par = jnp.take(hidden_local, edge_parent, axis=0)  # [E, d]
     label_logit = vp_label_logits(h_par, edge_token, w_local, temperature, axis)
@@ -167,6 +255,7 @@ def vp_tree_loss_edges(
     temperature: float = 1.0,
     chunk_size: int = 1024,
     axis: str = "model",
+    mode: str = "vocab",
 ):
     """Sequence-parallel (parent-owned) edge formulation of the trie loss.
 
@@ -181,7 +270,7 @@ def vp_tree_loss_edges(
     accumulation across its KV stack, reference:
     tree_training_engine.py:443-465 — here it's an indexing scheme.)"""
     lse, entropy = vp_position_stats(
-        hidden_local, w_local, temperature, chunk_size, axis
+        hidden_local, w_local, temperature, chunk_size, axis, mode
     )
     h_par = jnp.take(hidden_local, edge_parent, axis=0)  # [E, d]
     label_logit = vp_label_logits(h_par, edge_token, w_local, temperature, axis)

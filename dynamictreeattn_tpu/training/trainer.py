@@ -298,7 +298,7 @@ class Trainer:
             from dynamictreeattn_tpu.parallel import batch_partition_specs
             from dynamictreeattn_tpu.parallel.distributed import put_global
 
-            specs = batch_partition_specs()
+            specs = batch_partition_specs(cache_sched=True)
             arrays = put_global(arrays, self.mesh,
                                 {f: specs[f] for f in arrays})
         from dynamictreeattn_tpu.parallel import extract_forward
@@ -375,6 +375,7 @@ class Trainer:
                 self.mesh.shape.get("seq", 1), self.tc.sp_mode,
                 extras_spec=(self.extras_spec if self.custom_loss is not None
                              else None),
+                cache_sched=True,  # superset; placement filters by arrays
             )
             arrays = put_global(
                 arrays, self.mesh, {f: specs[f] for f in arrays}
@@ -383,11 +384,21 @@ class Trainer:
         new_params, new_opt, loss, aux = self._step_fn(
             self.params, self.opt_state, arrays
         )
-        loss = float(loss)  # host sync
+        # ONE host round-trip for every scalar this step logs: on a
+        # tunneled/remote chip each separate float() is a full network RTT
+        # (measured ~20 ms apiece — 3 separate syncs cost more than the
+        # whole host-side batching pipeline)
+        loss, aux = jax.device_get((loss, aux))
+        loss = float(loss)
         dt = time.time() - t0
+        # the step DONATES params/opt_state (in-place update, no second copy
+        # of the adamw moments) — always rebind; on a non-finite loss the
+        # step already applied a zero update in-graph (train.py opt_step),
+        # so rebinding keeps the previous parameters
+        self.params, self.opt_state = new_params, new_opt
         if self.tc.skip_nonfinite and not np.isfinite(loss):
-            # drop the poisoned update (bad rollout batch / overflow); the
-            # rollout stream continues — basic training robustness the
+            # poisoned batch (bad rollout / overflow): update was zeroed
+            # in-graph; record and continue — basic training robustness the
             # reference (grads-only, no loop) never needed
             self.skipped_steps = getattr(self, "skipped_steps", 0) + 1
             self.step_idx += 1
@@ -395,7 +406,6 @@ class Trainer:
                    "time": dt, "n_sequences": len(seqs)}
             self.history.append(rec)
             return rec
-        self.params, self.opt_state = new_params, new_opt
         self.step_idx += 1
 
         # feed the cost model: with dp=1 the attribution is exact; with dp>1

@@ -192,6 +192,9 @@ def main():
          ("data", "model"), {}),
         ("8B adamw fsdp8 (dp8 x tp1)", "qwen3-8b", "v5e", "v5e:2x4", (8, 1),
          ("data", "model"), {"fsdp": True, "optimizer": adamw}),
+        ("8B adamw fsdp8 remat6", "qwen3-8b", "v5e", "v5e:2x4", (8, 1),
+         ("data", "model"),
+         {"fsdp": True, "optimizer": adamw, "remat_segments": 6}),
         ("8B adamw fsdp4 x tp4 (16 chip)", "qwen3-8b", "v5e", "v5e:4x4", (4, 4),
          ("data", "model"), {"fsdp": True, "optimizer": adamw}),
         ("14B grads-only tp8", "qwen3-14b", "v5e", "v5e:2x4", (1, 8),

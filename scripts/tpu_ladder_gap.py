@@ -82,19 +82,17 @@ def bench_sharded(tag, ec, optimizer=None):
     p = shard_params(params, mesh, mc)
     opt = init_opt_state(optimizer, p) if optimizer is not None else None
     stacked = [stack_batches([TokenTrie(s, a)], ec) for s, a, _ in batches]
-    for b in stacked:  # warm every shape
+    for b in stacked:  # warm every shape (opt steps donate: rebind p/opt)
         if optimizer is None:
             out = step(p, b.arrays); float(out[0]); del out
         else:
-            p2, o2, loss, aux = step(p, opt, b.arrays); float(loss)
-            del p2, o2
+            p, opt, loss, aux = step(p, opt, b.arrays); float(loss)
     t0 = time.time()
     for b in stacked:
         if optimizer is None:
             out = step(p, b.arrays); float(out[0]); del out
         else:
-            p2, o2, loss, aux = step(p, opt, b.arrays); float(loss)
-            del p2, o2
+            p, opt, loss, aux = step(p, opt, b.arrays); float(loss)
     dt = time.time() - t0
     print(f"{tag:<44} {total_tokens/dt:9.0f} tok/s", flush=True)
     return total_tokens / dt
