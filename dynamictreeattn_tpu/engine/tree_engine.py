@@ -125,15 +125,23 @@ def resolve_kernel_modes(mc, cfg: EngineConfig) -> tuple[str, str]:
     return fwd, bwd
 
 
-def resolve_loss_mode(cfg: EngineConfig) -> str:
+def resolve_loss_mode(cfg: EngineConfig, mc=None) -> str:
     """LM-head loss implementation for this config — shared by TreeEngine
     and the sharded step builders: "auto" means the fused Pallas stats
     kernels (ops/lm_stats.py) whenever the Pallas attention backend runs
     (same hardware requirement; TPU-semantics interpreter under
-    cfg.interpret), else the vocab-chunked XLA custom_vjp."""
+    cfg.interpret), else the vocab-chunked XLA custom_vjp.
+
+    Gated to hidden sizes ≤ 2048: at d=4096 (8B) the AOT TPU compiler
+    places the backward kernel's full dW^T output on the VMEM stack and
+    OOMs (scripts/aot_memory_8b.py finding) — measured-good at 0.6B/1.7B
+    scale, the XLA vocab-chunked path covers larger models until the
+    kernel is re-tuned on real multi-chip hardware."""
     if cfg.loss_mode != "auto":
         return cfg.loss_mode
-    if cfg.attn_backend == "pallas":
+    if cfg.attn_backend == "pallas" and (
+        mc is None or getattr(mc, "hidden_size", 0) <= 2048
+    ):
         return "pallas_interpret" if cfg.interpret else "pallas"
     return "vocab"
 
@@ -259,7 +267,7 @@ class TreeEngine:
         return resolve_kernel_modes(self.mc, self.cfg)[1]
 
     def _loss_mode(self) -> str:
-        return resolve_loss_mode(self.cfg)
+        return resolve_loss_mode(self.cfg, self.mc)
 
     def _fused_qk(self) -> bool:
         cfg = self.cfg

@@ -47,11 +47,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["lm_stats", "lm_stats_bwd", "LM_STATS_MAX_ROWS"]
+__all__ = ["lm_stats", "lm_stats_bwd", "default_max_rows"]
 
-# row cap per kernel call: h bf16 (2 KB/row) + dh fp32 window (4 KB/row) at
-# d=1024 + tiles/buffers ≈ 96 MB at 14336 rows
-LM_STATS_MAX_ROWS = 14336
+
+def default_max_rows(d: int) -> int:
+    """Row cap per kernel call: the resident hidden (bf16, 2d B/row) plus
+    the fp32 dhidden window (4d B/row) must fit an ~84 MB budget beside the
+    w/dW tile buffers — 14336 rows at d=1024 (0.6B), 3584 at d=4096 (8B).
+    Calls above the cap row-split (each split streams W once more)."""
+    return max(512, (84 << 20) // (6 * d) // 512 * 512)
 
 
 def _interpret_mode(interpret: bool):
@@ -256,10 +260,12 @@ def _row_splits(n: int, max_rows: int) -> list[tuple[int, int]]:
 
 
 def lm_stats(hidden, w_lm, inv_temp: float = 1.0, block_v: int = 512,
-             interpret: bool = False, max_rows: int = LM_STATS_MAX_ROWS):
+             interpret: bool = False, max_rows: int | None = None):
     """(lse [n], mean_x [n]) of softmax(logits), logits = hidden @ w_lm ·
     inv_temp in fp32. Entropy = lse − mean_x."""
     n = hidden.shape[0]
+    if max_rows is None:
+        max_rows = default_max_rows(hidden.shape[1])
     splits = _row_splits(n, max_rows)
     if len(splits) == 1:
         return _fwd_call(hidden, w_lm, float(inv_temp), block_v, interpret)
@@ -276,12 +282,14 @@ def lm_stats(hidden, w_lm, inv_temp: float = 1.0, block_v: int = 512,
 
 def lm_stats_bwd(hidden, w_lm, lse, mean_x, g_lse, g_ent,
                  inv_temp: float = 1.0, block_v: int = 512,
-                 interpret: bool = False, max_rows: int = LM_STATS_MAX_ROWS):
+                 interpret: bool = False, max_rows: int | None = None):
     """Analytic backward for (lse, entropy) cotangents (g_lse, g_ent):
     returns (dhidden [n, d] in hidden.dtype, dWT [V, d] fp32 — transpose of
     the [d, V] cotangent, contiguous for tied embeddings). dWT sums over
     row splits."""
     n, d = hidden.shape
+    if max_rows is None:
+        max_rows = default_max_rows(d)
     a = (g_lse + g_ent * mean_x).astype(jnp.float32)
     b = g_ent.astype(jnp.float32)
     dh_parts, dwT_total = [], None

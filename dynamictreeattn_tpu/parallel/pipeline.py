@@ -233,7 +233,7 @@ def make_pp_train_step(
                 h, w_local, tok, mb_field("parent", mb),
                 mb_field("w_logprob", mb), mb_field("w_entropy", mb),
                 ec.temperature, ec.loss_chunk,
-                mode=resolve_loss_mode(ec),
+                mode=resolve_loss_mode(ec, mc),
             )
             l_seed = live * l
             if mc.is_moe and mc.router_aux_coef:
@@ -357,7 +357,7 @@ def make_pp_train_step(
                     h, w_local, tok, mb_field("parent", mb),
                     mb_field("w_logprob", mb), mb_field("w_entropy", mb),
                     ec.temperature, ec.loss_chunk,
-                    mode=resolve_loss_mode(ec),
+                    mode=resolve_loss_mode(ec, mc),
                 )
                 live = ((mb >= 0) & (mb < M) & (stage == pp - 1)).astype(l.dtype)
                 # the router lb loss is per-STAGE (each stage's own MoE

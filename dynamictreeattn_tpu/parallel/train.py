@@ -652,12 +652,12 @@ def make_train_step(
                         batch["ce_parent"][0, 0], batch["ce_token"][0, 0],
                         batch["ce_child"][0, 0], tokens.shape[0],
                         ec.temperature, ec.loss_chunk,
-                        mode=resolve_loss_mode(ec),
+                        mode=resolve_loss_mode(ec, mc),
                     )
                 else:
                     lp_edge, entropy = vp_tree_edge_logprobs(
                         h, w_local, tokens, parent, ec.temperature,
-                        ec.loss_chunk, mode=resolve_loss_mode(ec),
+                        ec.loss_chunk, mode=resolve_loss_mode(ec, mc),
                     )
                 paths = batch["seq_paths"][0]
                 lengths = batch["seq_lens"][0]
@@ -686,13 +686,13 @@ def make_train_step(
                 loss, aux = vp_tree_loss_edges(
                     h, w_local, e_par, e_tok, e_w, w_ent_loc,
                     ec.temperature, ec.loss_chunk,
-                    mode=resolve_loss_mode(ec),
+                    mode=resolve_loss_mode(ec, mc),
                 )
             else:
                 loss, aux = vp_tree_loss_from_hidden(
                     h, w_local, tokens, parent, w_lp, w_ent,
                     ec.temperature, ec.loss_chunk,
-                    mode=resolve_loss_mode(ec),
+                    mode=resolve_loss_mode(ec, mc),
                 )
             if mc.is_moe:
                 aux = dict(aux, lb_loss=faux["lb_loss"])
@@ -842,7 +842,7 @@ def make_forward_step(
         w_local = params["embed"].T if mc.tie_word_embeddings else params["lm_head"]
         lp, ent = vp_tree_edge_logprobs(
             h, w_local, fields["tokens"], fields["parent"],
-            ec.temperature, ec.loss_chunk, mode=resolve_loss_mode(ec),
+            ec.temperature, ec.loss_chunk, mode=resolve_loss_mode(ec, mc),
         )
         return lp[None], ent[None]
 

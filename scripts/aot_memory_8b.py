@@ -76,8 +76,12 @@ def _abstract_batch(dp, n, bq, bkv, slots):
         "q_ids": ((dp, nk, slots), jnp.int32),
         "q_counts": ((dp, nk), jnp.int32),
         "q_types": ((dp, nk, slots), jnp.int32),
+        # Belady schedules for the cached fused backward (stack_batches
+        # emits these for pallas batches since r5)
+        "cache_actions": ((dp, nq, slots, 4), jnp.int32),
+        "cache_flush": ((dp, min(16, nk), 2), jnp.int32),
     }
-    assert set(shp) == set(_BATCH_FIELDS + _META_FIELDS)
+    assert set(shp) >= set(_BATCH_FIELDS + _META_FIELDS)
     return {k: jax.ShapeDtypeStruct(s, d) for k, (s, d) in shp.items()}
 
 

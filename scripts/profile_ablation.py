@@ -61,7 +61,7 @@ def main():
     bs = BlockSizes(blk, blk)
 
     real_attn = lambda q, k, v: tree_attention(
-        q, k, v, b.last_desc, *b.meta, block_sizes=bs
+        q, k, v, b.last_desc, *b.meta[:6], block_sizes=bs
     )
     id_attn = lambda q, k, v: jnp.repeat(v, q.shape[0] // v.shape[0], axis=0)
 

@@ -172,7 +172,7 @@ def main():
     sm, bm = "bound", "fused"
 
     def attn_fn(q, k, v):
-        return tree_attention(q, k, v, batch.last_desc, *batch.meta,
+        return tree_attention(q, k, v, batch.last_desc, *batch.meta[:6],
                               block_sizes=bs, softmax_mode=sm, bwd_mode=bm)
 
     params = init_params(mc, jax.random.key(0), dtype=jnp.bfloat16)

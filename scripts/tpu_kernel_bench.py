@@ -43,10 +43,10 @@ for name, b in [("tree", batch), ("dense", dense)]:
     v = jax.random.normal(jax.random.key(2), (hkv, n, dh), dtype=jnp.bfloat16)
 
     fwd = jax.jit(lambda q, k, v, b=b: tree_attention(
-        q, k, v, b.last_desc, *b.meta, block_sizes=BlockSizes(ec.block_q, ec.block_kv)))
+        q, k, v, b.last_desc, *b.meta[:6], block_sizes=BlockSizes(ec.block_q, ec.block_kv)))
 
     def bwd_loss(q, k, v, b=b):
-        o = tree_attention(q, k, v, b.last_desc, *b.meta,
+        o = tree_attention(q, k, v, b.last_desc, *b.meta[:6],
                            block_sizes=BlockSizes(ec.block_q, ec.block_kv))
         return jnp.sum(o.astype(jnp.float32) ** 2)
 

@@ -1,11 +1,12 @@
-"""Kernel-level parity artifact: all 4 softmax x backward mode combos vs the
-dense-mask jnp reference, real Pallas kernels on the real TPU, bf16.
+"""Kernel-level parity artifact: all 6 softmax x backward mode combos
+(online/bound x split/fused/cached) vs the dense-mask jnp reference, real
+Pallas kernels on the real TPU, bf16.
 
 The committed output (grad/kernel-parity-bf16.txt) is the kernel-level
 counterpart of the end-to-end grad table (grad/Qwen3-0.6B-TB-vs-DB-bf16.txt),
 mirroring the reference's practice of committing its parity evidence
 (reference: grad/Qwen3-0.6B-TB-vs-DB-bf16.txt). A RUN_TPU=1-gated pytest
-(tests/test_tree_attention.py::test_tpu_kernel_parity_4combo) runs this
+(tests/test_tree_attention.py::test_tpu_kernel_parity_6combo) runs this
 script with --check.
 
 Usage: python scripts/tpu_kernel_parity.py [--check]
@@ -72,14 +73,22 @@ gr_norm = [float(jnp.linalg.norm(g.astype(jnp.float32))) for g in gr]
 
 rows = []
 worst_fwd = worst_grad = 0.0
+from dynamictreeattn_tpu.tries import build_bwd_cache_sched
+
+_sched = build_bwd_cache_sched(meta, 16)
+_sched_args = (jnp.asarray(_sched.actions), jnp.asarray(_sched.flush))
+
 for softmax_mode in ("online", "bound"):
-    for bwd_mode in ("split", "fused"):
+    for bwd_mode in ("split", "fused", "cached"):
 
         @jax.jit
         def run_grads(q, k, v, sm=softmax_mode, bm=bwd_mode):
             def f(q, k, v):
-                o = tree_attention(q, k, v, ld, *margs, block_sizes=bs,
-                                   softmax_mode=sm, bwd_mode=bm)
+                o = tree_attention(
+                    q, k, v, ld, *margs, block_sizes=bs,
+                    softmax_mode=sm, bwd_mode=bm,
+                    cache_sched=_sched_args if bm == "cached" else None,
+                )
                 return jnp.sum((o * cot).astype(jnp.float32))
             return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
 

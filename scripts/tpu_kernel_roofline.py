@@ -41,6 +41,7 @@ PEAK_TFLOPS = 197.0  # v5e bf16
 SECTION = sys.argv[1] if len(sys.argv) > 1 else "all"
 BQ = int(os.environ.get("DTA_RF_BQ", "512"))
 BKV = int(os.environ.get("DTA_RF_BKV", "512"))
+HB = int(os.environ.get("DTA_RF_HB", "4"))  # BlockSizes.head_block
 CALLS = int(os.environ.get("DTA_RF_CALLS", "28"))
 HQ, HKV, DH = 16, 8, 128
 GROUP = HQ // HKV
@@ -85,7 +86,7 @@ def section1():
     )
     batch = engine.prepare(TokenTrie(seqs, attachs))
     n = batch.n_padded
-    kv_ids, kv_counts, kv_types, q_ids, q_counts, q_types = batch.meta
+    kv_ids, kv_counts, kv_types, q_ids, q_counts, q_types = batch.meta[:6]
     ld2 = jnp.asarray(batch.packed.last_desc).reshape(1, n).astype(jnp.int32)
     active_pairs = int(jnp.sum(jnp.asarray(kv_types) > 0))
     slot_pairs = int(np.prod(kv_ids.shape))
@@ -103,7 +104,7 @@ def section1():
     vs = jax.random.normal(jax.random.key(2), (CALLS, HKV, n, DH), dtype=jnp.bfloat16)
     dos = jax.random.normal(jax.random.key(3), shape4, dtype=jnp.bfloat16)
     scale = DH ** -0.5
-    bs = BlockSizes(BQ, BKV)
+    bs = BlockSizes(BQ, BKV, head_block=HB)
     kvm = (kv_ids, kv_counts, kv_types)
     qm = (q_ids, q_counts, q_types)
 
@@ -119,7 +120,7 @@ def section1():
     # for each of the HKV heads.
     base = active_pairs * HKV * GROUP * 2 * BQ * BKV * DH / (PEAK_TFLOPS * 1e12)
     roof = {"fwd_online": 2 * base, "fwd_bound": 2 * base, "dq": 3 * base,
-            "dkv": 4 * base, "fused": 5 * base}
+            "dkv": 4 * base, "fused": 5 * base, "cached": 5 * base}
 
     runs = {}
     runs["fwd_online"] = (
@@ -159,9 +160,28 @@ def section1():
             (qs, ks, vs, dos, lses, dis),
         )
 
+    from dynamictreeattn_tpu.tries import build_bwd_cache_sched
+
+    if len(batch.meta) > 6:
+        acts, flush = batch.meta[6], batch.meta[7]
+    else:
+        sched = build_bwd_cache_sched(
+            build_block_meta(batch.packed.last_desc, BQ, BKV), 16
+        )
+        acts, flush = jnp.asarray(sched.actions), jnp.asarray(sched.flush)
+
+    @jax.jit
+    def run_cached(qs, ks, vs, dos, lses, dis):
+        return jax.lax.map(
+            lambda t: ta._bwd_cached(t[0], t[1], t[2], ld2, *kvm, acts, flush,
+                                     t[3], t[4], t[5], scale, bs, False),
+            (qs, ks, vs, dos, lses, dis),
+        )
+
     runs["dq"] = (run_dq, (qs, ks, vs, dos, lses, dis))
     runs["dkv"] = (run_dkv, (qs, ks, vs, dos, lses, dis))
     runs["fused"] = (run_fused, (qs, ks, vs, dos, lses, dis))
+    runs["cached"] = (run_cached, (qs, ks, vs, dos, lses, dis))
 
     print(f"{'kernel':12s} {'ms/call':>9s} {'roofline':>9s} {'%':>6s}")
     for name, (fn, args) in runs.items():

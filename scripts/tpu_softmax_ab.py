@@ -45,7 +45,7 @@ for name, b in [("tree", batch), ("dense", dense)]:
     for mode in ("online", "bound"):
         def one(q, b=b, m=mode):
             return tree_attention(
-                q, k, v, b.last_desc, *b.meta,
+                q, k, v, b.last_desc, *b.meta[:6],
                 block_sizes=BlockSizes(ec.block_q, ec.block_kv), softmax_mode=m)
 
         outs[mode] = np.asarray(jax.jit(one)(q), dtype=np.float32)

@@ -450,8 +450,8 @@ def test_pallas_interpret_cached_bwd_matches_split():
     "opt in with RUN_TPU=1 — runs scripts/tpu_kernel_parity.py --check "
     "in a clean subprocess so the axon backend registers.",
 )
-def test_tpu_kernel_parity_4combo():
-    """All 4 softmax x backward kernel combos vs the dense reference on
+def test_tpu_kernel_parity_6combo():
+    """All 6 softmax x backward kernel combos vs the dense reference on
     hardware, bf16 (committed artifact: grad/kernel-parity-bf16.txt)."""
     import subprocess
     import sys as _sys
