@@ -144,7 +144,11 @@ def main():
     # engine-only headline above (the gap is padding + optimizer;
     # docs/PERF.md "production path"). Skipped when DTA_BENCH_PROMPTS pins a
     # custom single workload.
-    if not forced and os.environ.get("DTA_BENCH_LADDER", "1") != "0":
+    model_name = os.environ.get("DTA_BENCH_MODEL", "qwen3-0.6b")
+    if (not forced and os.environ.get("DTA_BENCH_LADDER", "1") != "0"
+            and model_name == "qwen3-0.6b"):
+        # flagship only: the Trainer holds fp32 adamw moments (8 bytes/param)
+        # beside bf16 params — 1.7B+ exceeds the 16 GB chip in this section
         import dataclasses as _dc
 
         from dynamictreeattn_tpu.training import TrainConfig, Trainer

@@ -168,8 +168,8 @@ def _fwd_call(hidden, w_lm, inv_temp, bv, interpret):
 # ------------------------------------------------------------------ backward
 
 
-def _bwd_kernel(h_ref, w_ref, lse_ref, a_ref, b_ref, dwT_ref, dh_ref, *,
-                inv_temp: float, bv: int, bn: int, v_real: int):
+def _bwd_kernel(h_ref, w_ref, lse_ref, a_ref, b_ref, dwT_ref, dh_ref,
+                dw_scr, *, inv_temp: float, bv: int, bn: int, v_real: int):
     c = pl.program_id(0)
 
     @pl.when(c == 0)
@@ -200,14 +200,18 @@ def _bwd_kernel(h_ref, w_ref, lse_ref, a_ref, b_ref, dwT_ref, dh_ref, *,
             preferred_element_type=jnp.float32,
         )  # [bv, d]
         if ib == 0:
-            dwT_ref[...] = dwc.astype(dwT_ref.dtype)
+            dw_scr[...] = dwc
         else:
-            dwT_ref[...] += dwc.astype(dwT_ref.dtype)
+            dw_scr[...] += dwc
         # the constant-index fp32 output window IS the dhidden accumulator
         dh_ref[rows, :] += jax.lax.dot_general(
             dl, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+    # fp32 accumulation across row sub-blocks; the OUTPUT is w_lm's dtype so
+    # the [V_pad, d] buffer costs half the HBM of a fp32 emit (a 1.2 GB fp32
+    # dW^T per row-split OOM'd the 1.7B dense baseline beside params+grads)
+    dwT_ref[...] = dw_scr[...].astype(dwT_ref.dtype)
 
 
 def _bwd_call(hidden, w_lm, lse, a, b, inv_temp, bv, interpret):
@@ -234,9 +238,10 @@ def _bwd_call(hidden, w_lm, lse, a, b, inv_temp, bv, interpret):
             pl.BlockSpec((n, d), lambda c: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((V_pad, d), jnp.float32),
+            jax.ShapeDtypeStruct((V_pad, d), w_lm.dtype),
             jax.ShapeDtypeStruct((n, d), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((bv, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
             vmem_limit_bytes=110 << 20,
@@ -284,9 +289,9 @@ def lm_stats_bwd(hidden, w_lm, lse, mean_x, g_lse, g_ent,
                  inv_temp: float = 1.0, block_v: int = 512,
                  interpret: bool = False, max_rows: int | None = None):
     """Analytic backward for (lse, entropy) cotangents (g_lse, g_ent):
-    returns (dhidden [n, d] in hidden.dtype, dWT [V, d] fp32 — transpose of
-    the [d, V] cotangent, contiguous for tied embeddings). dWT sums over
-    row splits."""
+    returns (dhidden [n, d] in hidden.dtype, dWT [V, d] in w_lm.dtype —
+    transpose of the [d, V] cotangent, contiguous for tied embeddings;
+    fp32-accumulated in-kernel). dWT sums over row splits."""
     n, d = hidden.shape
     if max_rows is None:
         max_rows = default_max_rows(d)
