@@ -11,13 +11,20 @@ All filters rewrite disallowed logits to a large negative number (not -inf:
 fully-masked rows into NaN; the filters always keep ≥1 token so any finite
 very-negative fill behaves identically).
 
-TPU notes: min-p is sort-free (prob < min_p·p_max ⇔ logit < logit_max +
-log(min_p)); top-k thresholds on `lax.top_k`'s k-th value; top-p needs the
-nucleus boundary, computed from one descending `jnp.sort` over the vocab —
-at GRPO decode shapes ([32, 151936] fp32) the sort costs ~0.2 ms/step on
-v5e against a ~3.2 ms decode step (scripts/tpu_sampling_cost.py).
-`top_k` is static (lax.top_k shape); `top_p`/`min_p` are traced operands,
-so sweeping them never recompiles.
+TPU notes: none of the filters sorts the vocab. min-p is a single compare
+(prob < min_p·p_max ⇔ logit < logit_max + log(min_p)); top-k and top-p find
+their cutoff by BISECTING on the threshold — each iteration is one fused
+compare+sum pass over [B, V], and 40 fp32 iterations pin the boundary to
+machine precision. A `jnp.sort`/`lax.top_k` formulation measured ~8 ms and
+~6 ms per decode step respectively at GRPO shapes ([32, 151936] fp32) on
+v5e — 2.8× the whole rollout — where the bisection runs in well under a
+millisecond (scripts/tpu_sampling_cost.py). `top_k` is static; `top_p`/
+`min_p` are traced operands, so sweeping them never recompiles.
+
+Tie semantics: the threshold keeps every token tied with the cutoff value,
+where HF's sort-based warpers break ties by sort order. Exact fp32 ties
+between distinct logits are measure-zero for real model outputs (and the
+HF-parity tests pass on random logits).
 """
 
 from __future__ import annotations
@@ -28,23 +35,54 @@ import jax.numpy as jnp
 __all__ = ["filter_logits"]
 
 _NEG = -1e30
+_BISECT_ITERS = 40  # halves a fp32 exponent range well past ulp precision
+
+
+def _bisect_threshold(count_ge, lo, hi, want, iters=_BISECT_ITERS):
+    """Largest t with count_ge(t) >= want, by bisection on [lo, hi].
+
+    `count_ge(t)` must be non-increasing in t ([...] -> [...], any leading
+    batch dims); lo must satisfy the predicate. Returns [..., 1]."""
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = 0.5 * (lo + hi)
+        ok = count_ge(mid) >= want
+        return jnp.where(ok, mid, lo), jnp.where(ok, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+    return lo[..., None]
 
 
 def _top_k(logits, k: int):
-    thr = jax.lax.top_k(logits, k)[0][..., -1:]
+    # cutoff = k-th largest logit: bisect t so that #{logit >= t} >= k.
+    lo = jnp.min(logits, axis=-1)
+    hi = jnp.max(logits, axis=-1)
+    thr = _bisect_threshold(
+        lambda t: jnp.sum(
+            (logits >= t[..., None]).astype(jnp.int32), axis=-1
+        ),
+        lo, hi, k,
+    )
     return jnp.where(logits < thr, _NEG, logits)
 
 
 def _top_p(logits, p):
-    srt = jnp.sort(logits, axis=-1)[..., ::-1]  # descending
-    probs = jax.nn.softmax(srt, axis=-1)
-    cum = jnp.cumsum(probs, axis=-1)
-    # keep tokens whose preceding (exclusive) mass is < p: the smallest set
-    # whose total mass reaches p, always including the top token (HF
-    # TopPLogitsWarper semantics)
-    keep = (cum - probs) < p
-    thr = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1, keepdims=True)
-    return jnp.where(logits < thr, _NEG, logits)
+    # nucleus cutoff: the largest t whose kept-set mass reaches p — the
+    # smallest set with cumulative probability >= p, always containing the
+    # top token (HF TopPLogitsWarper semantics). One softmax, then
+    # compare+sum passes over the probabilities.
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    ex = jnp.exp(logits - m)
+    probs = ex / jnp.sum(ex, axis=-1, keepdims=True)
+    zero = jnp.zeros(logits.shape[:-1], logits.dtype)
+    thr = _bisect_threshold(
+        lambda t: jnp.sum(
+            jnp.where(probs >= t[..., None], probs, 0.0), axis=-1
+        ),
+        zero, jnp.max(probs, axis=-1), p,
+    )
+    return jnp.where(probs < thr, _NEG, logits)
 
 
 def _min_p(logits, mp):
