@@ -11,6 +11,20 @@ Variants:
               grid steps and padded slots halve
   h2p       — h2 + prescale
   fullskip  — typ==2 blocks take a maskless branch (no iota/compare/select)
+  h{2,4,8}sw — software-pipelined: tile t+1's score matmul issued before
+              tile t's exp/PV chain
+  h{2,4,8}g — group-concatenated matmuls: one [bkv, group*bq] score matmul
+  h4q       — q-major orientation (native PV contraction)
+  d_mxu / d_noexp / d_nomask / d_mxuq — WRONG-RESULT diagnostics with VPU
+              pieces removed; d_mxu (matmuls only) is the structural floor
+  h4x/h8x   — exp2-fold: scale*log2(e) into q, c*log2(e), exp2 in-kernel
+  h4xb      — exp2 on a bf16 tile (no f32->bf16 cast before PV)
+  h4xf/h4xbf — exp2 + full-block maskless branch
+
+Round-5 conclusion (docs/PERF.md "The forward-kernel floor, decomposed"):
+every variant lands inside the ±4% run-to-run band; d_mxu shows the whole
+VPU chain is ~3 points of roofline; block regeometries (DTA_RF_BQ/BKV at
+1024) are absolutely slower. The kernel is at its shape-given floor.
 
 Usage: python scripts/tpu_fwd_variants.py [names...]
 """
@@ -158,6 +172,7 @@ def fwd_prescale(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 << 20,
         ),
         name="fwd_prescale",
     )(offs, kv_ids, kv_counts, kv_types, qs, k, v, ld2, c)
@@ -260,6 +275,7 @@ def fwd_h2(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 << 20,
         ),
         name=f"fwd_h{hb}{'p' if prescale else ''}",
     )(offs, kv_ids, kv_counts, kv_types, qin, k, v, ld2, c)
@@ -365,6 +381,7 @@ def fwd_fullskip(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 << 20,
         ),
         name="fwd_fullskip",
     )(offs, kv_ids, kv_counts, kv_types, q4, k, v, ld2, c)
@@ -474,6 +491,7 @@ def fwd_h2sw(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, hb=2):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 << 20,
         ),
         name=f"fwd_h{hb}sw",
     )(offs, kv_ids, kv_counts, kv_types, qin, k, v, ld2, c)
@@ -584,6 +602,7 @@ def fwd_h4diag(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, mode):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 << 20,
         ),
         name=f"fwd_h4diag_{mode}",
     )(offs, kv_ids, kv_counts, kv_types, qin, k, v, ld2, c)
@@ -707,6 +726,7 @@ def fwd_h4q(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, mode):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 << 20,
         ),
         name=f"fwd_h4q_{mode}",
     )(offs, kv_ids, kv_counts, kv_types, qin, k, v, ld2, c)
@@ -809,9 +829,142 @@ def fwd_h4g(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs, hb=4):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 << 20,
         ),
         name=f"fwd_h{hb}g",
     )(offs, kv_ids, kv_counts, kv_types, qin, k, v, ld2, c)
+    return o, c + logl
+
+
+_LOG2E = 1.4426950408889634
+
+
+def _h4x_kernel(offs_ref, ids_ref, counts_ref, types_ref,
+                q_ref, k_ref, v_ref, ld_ref, c_ref,
+                o_ref, logl_ref, l_scr, acc_scr,
+                *, block_q, block_kv, group, hb, bf16p, fullskip):
+    """exp2 fold: q pre-multiplied by scale*log2(e), c by log2(e), so
+    p = exp2(st - c) — the multiply hidden inside every exp(x)=exp2(x*log2e)
+    is absorbed into the prescale. bf16p additionally runs the exp2 on a
+    bf16 tile (cast before, not after — the PV matmul eats bf16 anyway and
+    l accumulates in fp32). fullskip gives typ==2 blocks a bias-free branch."""
+    i = pl.program_id(1)
+    s = pl.program_id(2)
+    count = counts_ref[i]
+    typ = types_ref[i, s]
+
+    @pl.when(s == 0)
+    def _init():
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    def _body(bias):
+        for hi in range(hb):
+            k = k_ref[hi]
+            v = v_ref[hi]
+            for gi in range(group):
+                t = hi * group + gi
+                sl = slice(t * block_q, (t + 1) * block_q)
+                q = q_ref[hi, gi]
+                c_row = c_ref[hi, gi : gi + 1, :]
+                st = jax.lax.dot_general(
+                    k, q, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if bias is not None:
+                    st = st + bias
+                x = st - c_row
+                if bf16p:
+                    p16 = jnp.exp2(x.astype(jnp.bfloat16))
+                    l_scr[0:1, sl] += jnp.sum(
+                        p16.astype(jnp.float32), axis=0, keepdims=True
+                    )
+                    pv = p16
+                else:
+                    p = jnp.exp2(x)
+                    l_scr[0:1, sl] += jnp.sum(p, axis=0, keepdims=True)
+                    pv = p.astype(v.dtype)
+                acc_scr[sl] += jax.lax.dot_general(
+                    pv, v, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+    if fullskip:
+        @pl.when(typ == 1)
+        def _partial():
+            _body(_kernel_common(i, s, offs_ref, ids_ref, block_q, block_kv,
+                                 typ, ld_ref))
+
+        @pl.when(typ == 2)
+        def _full():
+            _body(None)
+    else:
+        @pl.when(typ > 0)
+        def _compute():
+            _body(_kernel_common(i, s, offs_ref, ids_ref, block_q, block_kv,
+                                 typ, ld_ref))
+
+    @pl.when(s == count - 1)
+    def _emit():
+        for hi in range(hb):
+            for gi in range(group):
+                t = hi * group + gi
+                sl = slice(t * block_q, (t + 1) * block_q)
+                l_col = jnp.transpose(l_scr[0:1, sl])
+                inv = jnp.where(l_col == 0.0, 1.0, 1.0 / l_col)
+                o_ref[hi, gi] = (acc_scr[sl] * inv).astype(o_ref.dtype)
+                logl_ref[hi, gi : gi + 1] = jnp.log(
+                    jnp.maximum(l_scr[0:1, sl], 1e-30)
+                )
+
+
+def fwd_h4x(q4, k, v, ld2, kv_ids, kv_counts, kv_types, scale, bs,
+            hb=4, bf16p=False, fullskip=False):
+    hkv, group, n, dh = q4.shape
+    bq, bkv = bs.block_q, bs.block_kv
+    nq = n // bq
+    slots = kv_ids.shape[1]
+    offs = jnp.zeros((2,), jnp.int32)
+    c = ta._score_bound(q4, k, scale)
+    qin = (q4.astype(jnp.float32) * (scale * _LOG2E)).astype(q4.dtype)
+    c2 = c * _LOG2E
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(hkv // hb, nq, slots),
+        in_specs=[
+            pl.BlockSpec((hb, group, bq, dh), lambda h, i, s, *_: (h, 0, i, 0)),
+            pl.BlockSpec((hb, bkv, dh), lambda h, i, s, off, ids, *_: (h, ids[i, s], 0)),
+            pl.BlockSpec((hb, bkv, dh), lambda h, i, s, off, ids, *_: (h, ids[i, s], 0)),
+            pl.BlockSpec((1, bkv), lambda h, i, s, off, ids, *_: (0, ids[i, s])),
+            pl.BlockSpec((hb, group, bq), lambda h, i, s, *_: (h, 0, i)),
+        ],
+        out_specs=[
+            pl.BlockSpec((hb, group, bq, dh), lambda h, i, s, *_: (h, 0, i, 0)),
+            pl.BlockSpec((hb, group, bq), lambda h, i, s, *_: (h, 0, i)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((1, hb * group * bq), jnp.float32),
+            pltpu.VMEM((hb * group * bq, dh), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(
+        _h4x_kernel, block_q=bq, block_kv=bkv, group=group, hb=hb,
+        bf16p=bf16p, fullskip=fullskip,
+    )
+    o, logl = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct(q4.shape, q4.dtype),
+            jax.ShapeDtypeStruct((hkv, group, n), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=110 << 20,
+        ),
+        name=f"fwd_h{hb}x{'b' if bf16p else ''}{'f' if fullskip else ''}",
+    )(offs, kv_ids, kv_counts, kv_types, qin, k, v, ld2, c2)
     return o, c + logl
 
 
@@ -866,6 +1019,11 @@ def main():
         "d_mxuq": lambda q, k, v: fwd_h4q(q, k, v, ld2, *kvm, scale, bs, "mxu"),
         "h4q": lambda q, k, v: fwd_h4q(q, k, v, ld2, *kvm, scale, bs, "full"),
         "h4g": lambda q, k, v: fwd_h4g(q, k, v, ld2, *kvm, scale, bs, hb=4),
+        "h4x": lambda q, k, v: fwd_h4x(q, k, v, ld2, *kvm, scale, bs, hb=4),
+        "h4xb": lambda q, k, v: fwd_h4x(q, k, v, ld2, *kvm, scale, bs, hb=4, bf16p=True),
+        "h4xf": lambda q, k, v: fwd_h4x(q, k, v, ld2, *kvm, scale, bs, hb=4, fullskip=True),
+        "h4xbf": lambda q, k, v: fwd_h4x(q, k, v, ld2, *kvm, scale, bs, hb=4, bf16p=True, fullskip=True),
+        "h8x": lambda q, k, v: fwd_h4x(q, k, v, ld2, *kvm, scale, bs, hb=8),
         "h2g": lambda q, k, v: fwd_h4g(q, k, v, ld2, *kvm, scale, bs, hb=2),
         "h8g": lambda q, k, v: fwd_h4g(q, k, v, ld2, *kvm, scale, bs, hb=8),
     }
