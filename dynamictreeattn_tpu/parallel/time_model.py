@@ -14,6 +14,12 @@ from __future__ import annotations
 
 import numpy as np
 
+# import at module load, NOT inside fit(): the lazy `from scipy.optimize
+# import nnls` costs ~0.8 s and used to land in the middle of the training
+# stream — on the 16th recorded step, when the first online refit fires
+# (measured as a reproducible ~1.2 s host-side spike in Trainer.train_step)
+from scipy.optimize import nnls
+
 __all__ = ["TreeTimeModel", "FEATURES"]
 
 FEATURES = (
@@ -50,8 +56,6 @@ class TreeTimeModel:
             self.fit()
 
     def fit(self) -> None:
-        from scipy.optimize import nnls
-
         X = np.asarray(self._X, dtype=np.float64)
         y = np.asarray(self._y, dtype=np.float64)
         self.coef, _ = nnls(X, y)
